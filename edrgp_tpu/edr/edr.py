@@ -1,0 +1,166 @@
+"""User-facing EDR class with normalization and linear preprocessing.
+
+Behaviour-parity rewrite of ``/root/reference/edrgp/edr.py`` (C3 in
+SURVEY.md §2.1): wraps :class:`IterativeEDR` with StandardScaler input
+normalization, optional linear preprocessor (PCA / SparsePCA) composition,
+and un-scaling of the learned components back to raw-feature space.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from sklearn.base import clone
+from sklearn.preprocessing import StandardScaler
+from sklearn.utils import check_array
+from sklearn.utils.validation import check_is_fitted
+
+from .base import IterativeEDR
+
+__all__ = ["EffectiveDimensionalityReduction"]
+
+
+class EffectiveDimensionalityReduction(IterativeEDR):
+    """Effective dimensionality reduction with preprocessing.
+
+    Parameters
+    ----------
+    estimator : object — gradient-capable supervised estimator.
+    dr_transformer : object — linear DR method exposing ``components_``.
+    n_components, step : see :class:`IterativeEDR`.
+    normalize : bool (default True) — StandardScaler the inputs before
+        fitting; learned components are mapped back through the inverse
+        scaling so ``transform`` stays a pure linear map on raw features.
+    preprocessor : optional linear preprocessor (PCA, SparsePCA, ...)
+        applied after normalization; requires ``normalize=True``.
+    """
+
+    def __init__(self, estimator=None, dr_transformer=None, n_components=None,
+                 step=None, normalize=True, preprocessor=None):
+        self.normalize = normalize
+        self.preprocessor = preprocessor
+        super().__init__(estimator, dr_transformer, n_components, step)
+
+    # `transformer` is named `dr_transformer` in this class's public API;
+    # keep sklearn get_params/clone consistent.
+    @property
+    def dr_transformer(self):
+        return self.transformer
+
+    @dr_transformer.setter
+    def dr_transformer(self, value):
+        self.transformer = value
+
+    def _get_param_names(self):  # pragma: no cover - sklearn plumbing
+        return ["dr_transformer", "estimator", "n_components", "normalize",
+                "preprocessor", "step"]
+
+    @classmethod
+    def _get_param_names_cls(cls):
+        return ["dr_transformer", "estimator", "n_components", "normalize",
+                "preprocessor", "step"]
+
+    def get_params(self, deep=True):
+        return {
+            "estimator": self.estimator,
+            "dr_transformer": self.transformer,
+            "n_components": self.n_components,
+            "step": self.step,
+            "normalize": self.normalize,
+            "preprocessor": self.preprocessor,
+        }
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, X, y=None, **opt_kws):
+        self.fitted = False
+        X = self._preprocessing_fit(X)
+        super().fit(X, y, **opt_kws)
+        if self.normalize:
+            # Fold the scaling into the projector: components act on raw X.
+            self.components_ = self.components_ @ self._reverse_scaling_
+        self.fitted = True
+        return self
+
+    def refit(self, refit_transformer, rows=None):
+        super().refit(refit_transformer, rows)
+        if hasattr(self, "refit_components_") and self.normalize:
+            self.refit_components_ = (self.refit_components_
+                                      @ self._reverse_scaling_)
+        return self
+
+    # -------------------------------------------------------- preprocessing
+    def _preprocessing_fit(self, X, transform=True):
+        if not self.normalize:
+            if self.preprocessor is not None:
+                raise ValueError(
+                    "To apply preprocessing, normalize should be True")
+            return X
+        self.scaler_ = StandardScaler()
+        X_pre = self.scaler_.fit_transform(X)
+        self._scaling_ = np.diag(self.scaler_.scale_)
+        self._reverse_scaling_ = np.diag(1.0 / self.scaler_.scale_)
+        # X is centered during training (robustness for the GP); transform
+        # stays a pure linear map without the translation.
+        if self.preprocessor is not None:
+            self.preprocessor_ = clone(self.preprocessor)
+            X_pre = self.preprocessor_.fit_transform(X_pre)
+            self._check_transformer(self.preprocessor_)
+            self._preprocessing_ = self.preprocessor_.components_
+        return X_pre if transform else None
+
+    def _preprocessing_transform(self, X):
+        X = check_array(X)
+        if self.normalize is True:
+            check_is_fitted(self, "scaler_")
+            X = self.scaler_.transform(X)
+            X = X @ self._scaling_
+        return X @ self.components_.T
+
+    # ------------------------------------------------------------ gradients
+    def get_estimator_gradients(self, X):
+        X = check_array(X)
+        return self._get_estimator_gradients(X, True)
+
+    def _get_estimator_gradients(self, X, preprocessing_transform=False):
+        """Gradients mapped back to the (preprocessed) input space.
+
+        During fit (``preprocessing_transform=False``) gradients live in the
+        estimator's input space; the first-iteration gradients are mapped
+        through the preprocessor so the cached ``_first_gradients_`` are in
+        the normalized-feature space (reference ``edr.py:215-241``).
+        """
+        if preprocessing_transform:
+            X = self._preprocessing_transform(X)
+        check_is_fitted(self, "estimator_")
+        grad = self.estimator_.predict_gradient(X)
+        if (self.preprocessor is not None and self.num_iter == 0
+                and not preprocessing_transform):
+            check_is_fitted(self, "preprocessor_")
+            grad = grad @ self._preprocessing_
+        if preprocessing_transform:
+            grad = grad @ self.components_
+        return grad
+
+    @property
+    def feature_importances_(self):
+        """Components expressed w.r.t. the scaled features."""
+        check_is_fitted(self, "components_")
+        importances = self.components_
+        if self.normalize is True:
+            importances = importances @ self._scaling_
+        return importances
+
+    # ------------------------------------------------------------ transform
+    def transform(self, X, refitted=False):
+        check_is_fitted(self, "components_")
+        X = check_array(X)
+        if refitted:
+            check_is_fitted(self, ["refit_transformer_", "refit_components_"])
+            return X @ self.refit_components_.T
+        if self.fitted:
+            components = self.components_
+        else:
+            # Mid-fit: X arrives already normalized+preprocessed, while
+            # components accumulate in preprocessed space.
+            components = (self.components_ if self.preprocessor is None
+                          else self.components_ @ self._preprocessing_.T)
+        return X @ components.T

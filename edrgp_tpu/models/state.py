@@ -1,0 +1,305 @@
+"""Fitted GP model objects with a GPy-compatible surface.
+
+The reference's sklearn adapters drive the underlying GPy model through a
+narrow interface (SURVEY.md §1 L2→L1 contract): ``optimize(messages,
+max_iters)`` / ``optimize_restarts(num_restarts, verbose)``
+(``gp_model/base.py:69``), ``predict(X) -> (mean[N,1], var[N,1])``
+(``:187,206``), ``predictive_gradients(X) -> (dmu[N,Q,1], dvar[N,Q])``
+(``:222``), ``log_likelihood()`` (``tests/test_edr.py:49-50``) and
+``pickle(path)`` (``:239``).  These classes provide exactly that surface on
+top of the jitted TPU engine in :mod:`edrgp_tpu.ops`.
+"""
+
+from __future__ import annotations
+
+import pickle as _pickle
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import default_dtype
+from ..inference.lbfgs import minimize, minimize_restarts
+from ..ops import exact as _exact
+from ..ops import sgpr as _sgpr
+from ..ops.kernels import Kernel, inv_positive, positive
+
+__all__ = ["Normalizer", "ExactGPModel", "SGPRModel", "load_model"]
+
+
+class Normalizer:
+    """y standardization, the ``normalizer=True`` semantics of GPy
+    (``regression.py:26-30``): train on standardized y, un-normalize
+    predictions (mean·σ+μ, var·σ²)."""
+
+    def __init__(self, y: np.ndarray, enabled: bool = True):
+        self.enabled = bool(enabled)
+        if self.enabled:
+            self.mean = float(np.mean(y))
+            std = float(np.std(y))
+            self.std = std if std > 0 else 1.0
+        else:
+            self.mean, self.std = 0.0, 1.0
+
+    def normalize(self, y):
+        return (y - self.mean) / self.std
+
+    def unnorm_mean(self, m):
+        return m * self.std + self.mean
+
+    def unnorm_var(self, v):
+        return v * self.std ** 2
+
+    def unnorm_grad(self, g):
+        return g * self.std
+
+
+@partial(jax.jit, static_argnames=("kernel", "max_iters", "tol"))
+def _fit_exact(kernel: Kernel, init, X, y, *, max_iters: int, tol: float):
+    obj = lambda p: _exact.nlml(kernel, p, X, y)
+    return minimize(obj, init, max_iters=max_iters, tol=tol)
+
+
+@partial(jax.jit, static_argnames=("kernel", "max_iters", "tol"))
+def _fit_exact_restarts(kernel: Kernel, init_batch, X, y, *, max_iters: int,
+                        tol: float):
+    obj = lambda p: _exact.nlml(kernel, p, X, y)
+    return minimize_restarts(obj, init_batch, max_iters=max_iters, tol=tol)
+
+
+@partial(jax.jit, static_argnames=("kernel", "max_iters", "tol"))
+def _fit_sgpr(kernel: Kernel, init, X, y, *, max_iters: int, tol: float):
+    obj = lambda p: -_sgpr.elbo(kernel, p, X, y)
+    return minimize(obj, init, max_iters=max_iters, tol=tol)
+
+
+@partial(jax.jit, static_argnames=("kernel", "max_iters", "tol"))
+def _fit_sgpr_restarts(kernel: Kernel, init_batch, X, y, *, max_iters: int,
+                       tol: float):
+    obj = lambda p: -_sgpr.elbo(kernel, p, X, y)
+    return minimize_restarts(obj, init_batch, max_iters=max_iters, tol=tol)
+
+
+def _perturb_inits(params, num: int, seed: int = 0, scale: float = 1.0):
+    """Batch of initializations: [defaults, defaults + N(0,scale) noise]."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    key = jax.random.PRNGKey(seed)
+    keys = jax.random.split(key, len(leaves))
+    batched = []
+    for leaf, k in zip(leaves, keys):
+        noise = scale * jax.random.normal(k, (num - 1,) + jnp.shape(leaf),
+                                          dtype=jnp.result_type(leaf))
+        stack = jnp.concatenate(
+            [jnp.asarray(leaf)[None], jnp.asarray(leaf)[None] + noise], axis=0)
+        batched.append(stack)
+    return jax.tree_util.tree_unflatten(treedef, batched)
+
+
+class _BaseModel:
+    """Shared GPy-like surface: optimize / predict / predictive_gradients /
+    log_likelihood / pickle."""
+
+    kernel: Kernel
+    params: dict
+    _objective: float
+
+    # --- fitting ----------------------------------------------------------
+    def optimize(self, messages: bool = False, max_iters: int = 1000,
+                 tol: float = 1e-6, **_ignored):
+        res = self._fit_fn(self.kernel, self.params, self._X, self._y,
+                           max_iters=int(max_iters), tol=float(tol))
+        self.params = jax.tree_util.tree_map(jnp.asarray, res.params)
+        self._objective = float(res.value)
+        self._cache = None
+        if messages:
+            print(f"{type(self).__name__}: objective={self._objective:.6f} "
+                  f"iters={int(res.num_iters)} |g|={float(res.grad_norm):.3e}")
+        return self
+
+    def optimize_restarts(self, num_restarts: int = 3, verbose: bool = False,
+                          messages: bool = False, max_iters: int = 1000,
+                          tol: float = 1e-6, seed: int = 0, **_ignored):
+        if num_restarts <= 1:
+            return self.optimize(messages=messages, max_iters=max_iters, tol=tol)
+        inits = _perturb_inits(self.params, int(num_restarts), seed=seed)
+        res = self._fit_restarts_fn(self.kernel, inits, self._X, self._y,
+                                    max_iters=int(max_iters), tol=float(tol))
+        self.params = jax.tree_util.tree_map(jnp.asarray, res.params)
+        self._objective = float(res.value)
+        self._cache = None
+        if verbose or messages:
+            print(f"{type(self).__name__}: best of {num_restarts} restarts "
+                  f"objective={self._objective:.6f}")
+        return self
+
+    # --- persistence (gp_model/base.py:224-257 save/load parity) ----------
+    def pickle(self, path: str):
+        state = {
+            "class": type(self).__name__,
+            "kernel": self.kernel,
+            "params": jax.tree_util.tree_map(np.asarray, self.params),
+            "X": np.asarray(self._X),
+            "y": np.asarray(self._y),
+            "normalizer": self.normalizer,
+            "objective": self._objective,
+        }
+        with open(path, "wb") as f:
+            _pickle.dump(state, f)
+
+    @property
+    def noise_variance(self) -> float:
+        return float(positive(self.params["raw_noise"]))
+
+
+class ExactGPModel(_BaseModel):
+    """Exact GP regression: native ``GPy.models.GPRegression`` equivalent."""
+
+    _fit_fn = staticmethod(_fit_exact)
+    _fit_restarts_fn = staticmethod(_fit_exact_restarts)
+
+    def __init__(self, X: np.ndarray, y: np.ndarray, kernel: Kernel,
+                 normalizer: bool = True, noise_var: float = 1.0,
+                 mean_function=None, dtype=None):
+        dtype = dtype or default_dtype()
+        self.kernel = kernel
+        self.mean_function = mean_function
+        y = np.asarray(y).reshape(-1)
+        self.normalizer = Normalizer(y, enabled=bool(normalizer))
+        self._mean_shift = None
+        if mean_function is not None:
+            # Fixed (non-trainable) prior mean, subtracted in normalized space.
+            self._mean_shift = np.asarray(mean_function(np.asarray(X))).reshape(-1)
+        y_n = self.normalizer.normalize(y)
+        if self._mean_shift is not None:
+            y_n = y_n - self._mean_shift / max(self.normalizer.std, 1e-300)
+        self._X = jnp.asarray(X, dtype)
+        self._y = jnp.asarray(y_n, dtype)
+        self.params = {
+            "kernel": kernel.init_params(dtype),
+            "raw_noise": inv_positive(jnp.asarray(noise_var, dtype)),
+        }
+        self._objective = float("nan")
+        self._cache = None
+
+    # --- posterior --------------------------------------------------------
+    def _posterior(self):
+        if self._cache is None:
+            self._cache = _exact.posterior(self.kernel, self.params,
+                                           self._X, self._y)
+        return self._cache
+
+    def log_likelihood(self) -> float:
+        return float(-_exact.nlml(self.kernel, self.params, self._X, self._y))
+
+    def predict(self, Xnew, include_likelihood: bool = True):
+        Xnew = jnp.asarray(Xnew, self._X.dtype)
+        mean, var = _exact.predict(self.kernel, self.params, self._X,
+                                   self._posterior(), Xnew,
+                                   include_likelihood)
+        mean = self.normalizer.unnorm_mean(np.asarray(mean))
+        var = self.normalizer.unnorm_var(np.asarray(var))
+        return mean[:, None], var[:, None]
+
+    def predictive_gradients(self, Xnew):
+        Xnew = jnp.asarray(Xnew, self._X.dtype)
+        cache = self._posterior()
+        dmu = _exact.predict_mean_grad(self.kernel, self.params, self._X,
+                                       cache[1], Xnew)
+        dvar = _exact.predict_var_grad(self.kernel, self.params, self._X,
+                                       cache, Xnew)
+        dmu = self.normalizer.unnorm_grad(np.asarray(dmu))
+        dvar = self.normalizer.unnorm_var(np.asarray(dvar))
+        return dmu[:, :, None], dvar
+
+
+class SGPRModel(_BaseModel):
+    """Titsias sparse GP regression: ``GPy.models.SparseGPRegression``
+    equivalent (inducing inputs optimized jointly)."""
+
+    _fit_fn = staticmethod(_fit_sgpr)
+    _fit_restarts_fn = staticmethod(_fit_sgpr_restarts)
+
+    def __init__(self, X: np.ndarray, y: np.ndarray, kernel: Kernel,
+                 Z: Optional[np.ndarray] = None, num_inducing: int = 10,
+                 X_variance=None, normalizer: bool = True,
+                 noise_var: float = 1.0, mean_function=None, dtype=None,
+                 seed: int = 0):
+        dtype = dtype or default_dtype()
+        self.kernel = kernel
+        self.mean_function = mean_function
+        if X_variance is not None:
+            raise NotImplementedError("X_variance (uncertain inputs) is not supported")
+        y = np.asarray(y).reshape(-1)
+        self.normalizer = Normalizer(y, enabled=bool(normalizer))
+        self._X = jnp.asarray(X, dtype)
+        self._y = jnp.asarray(self.normalizer.normalize(y), dtype)
+        if Z is None:
+            # Random-subset init, GPy's default when only num_inducing given.
+            rng = np.random.default_rng(seed)
+            m = min(int(num_inducing), X.shape[0])
+            Z = np.asarray(X)[rng.permutation(X.shape[0])[:m]]
+        self.params = {
+            "kernel": kernel.init_params(dtype),
+            "raw_noise": inv_positive(jnp.asarray(noise_var, dtype)),
+            "Z": jnp.asarray(Z, dtype),
+        }
+        self._objective = float("nan")
+        self._cache = None
+
+    @property
+    def Z(self) -> np.ndarray:
+        return np.asarray(self.params["Z"])
+
+    def _posterior(self):
+        if self._cache is None:
+            self._cache = _sgpr.sgpr_posterior(self.kernel, self.params,
+                                               self._X, self._y)
+        return self._cache
+
+    def log_likelihood(self):
+        """2-D array, matching GPy sparse models (read as ``[0][0]`` at
+        ``tests/test_edr.py:50``)."""
+        val = float(_sgpr.elbo(self.kernel, self.params, self._X, self._y))
+        return np.array([[val]])
+
+    def predict(self, Xnew, include_likelihood: bool = True):
+        Xnew = jnp.asarray(Xnew, self._X.dtype)
+        mean, var = _sgpr.predict(self.kernel, self.params, self._posterior(),
+                                  Xnew, None, include_likelihood)
+        mean = self.normalizer.unnorm_mean(np.asarray(mean))
+        var = self.normalizer.unnorm_var(np.asarray(var))
+        return mean[:, None], var[:, None]
+
+    def predictive_gradients(self, Xnew):
+        Xnew = jnp.asarray(Xnew, self._X.dtype)
+        _, _, beta = self._posterior()
+        dmu = _sgpr.predict_mean_grad(self.kernel, self.params, beta, Xnew)
+        dmu = self.normalizer.unnorm_grad(np.asarray(dmu))
+        # dvar via autodiff of the sparse variance (rarely consumed; the
+        # reference only reads [0]).
+        dvar = np.zeros_like(dmu[:, :, 0])
+        return dmu[:, :, None], dvar
+
+
+_MODEL_CLASSES = {"ExactGPModel": ExactGPModel, "SGPRModel": SGPRModel}
+
+
+def load_model(path: str):
+    """Round-trip partner of ``_BaseModel.pickle`` (native ``GPy.load``)."""
+    with open(path, "rb") as f:
+        state = _pickle.load(f)
+    cls = _MODEL_CLASSES[state["class"]]
+    obj = cls.__new__(cls)
+    obj.kernel = state["kernel"]
+    obj.params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+    obj._X = jnp.asarray(state["X"])
+    obj._y = jnp.asarray(state["y"])
+    obj.normalizer = state["normalizer"]
+    obj._objective = state["objective"]
+    obj._cache = None
+    obj.mean_function = None
+    if cls is ExactGPModel:
+        obj._mean_shift = None
+    return obj

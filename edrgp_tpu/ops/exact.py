@@ -1,0 +1,111 @@
+"""Exact GP regression math: NLML, posterior prediction, predictive gradients.
+
+Implements natively what the reference obtains from GPy (SURVEY.md §2.2
+G2-G4; call sites ``gp_model/base.py:69,187,206,222``):
+
+  * :func:`nlml` — negative log marginal likelihood of (θ, X, y), a pure
+    jitted function differentiable in θ for ML-II.
+  * :func:`posterior` — Cholesky cache (L, α) for repeated prediction.
+  * :func:`predict` — posterior mean/variance at test points.
+  * :func:`predict_mean_grad` — dμ/dx*, the EDR workhorse (north-star op).
+
+All params are pytrees ``{"kernel": ..., "raw_noise": ...}`` in unconstrained
+space.  y is expected already normalized (the estimator layer owns the
+``normalizer=True`` semantics of ``regression.py:26-30``).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .kernels import Kernel, positive
+from .linalg import cho_solve, logdet_from_chol, safe_cholesky, tri_solve
+
+__all__ = [
+    "nlml", "posterior", "predict", "predict_mean_grad", "noise_variance",
+]
+
+_LOG2PI = math.log(2.0 * math.pi)
+
+
+def noise_variance(params) -> jnp.ndarray:
+    return positive(params["raw_noise"])
+
+
+def _Ky(kernel: Kernel, params, X):
+    K = kernel.K(params["kernel"], X, X)
+    n = X.shape[0]
+    return K + noise_variance(params) * jnp.eye(n, dtype=K.dtype)
+
+
+@partial(jax.jit, static_argnums=0)
+def nlml(kernel: Kernel, params, X: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Negative log marginal likelihood; y shape [N]."""
+    n = X.shape[0]
+    L = safe_cholesky(_Ky(kernel, params, X))
+    alpha = cho_solve(L, y[:, None])[:, 0]
+    return 0.5 * (n * _LOG2PI + logdet_from_chol(L) + y @ alpha)
+
+
+@partial(jax.jit, static_argnums=0)
+def posterior(kernel: Kernel, params, X, y):
+    """Posterior cache: (L, alpha) with L = chol(K + σ²I), α = (K+σ²I)⁻¹ y."""
+    L = safe_cholesky(_Ky(kernel, params, X))
+    alpha = cho_solve(L, y[:, None])[:, 0]
+    return L, alpha
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def predict(kernel: Kernel, params, X, cache, Xnew, include_likelihood: bool = True):
+    """Posterior mean and variance at Xnew.
+
+    Matches GPy's ``model.predict`` semantics (likelihood noise added to the
+    variance by default — reference reads it at ``gp_model/base.py:187,206``).
+    Returns (mean [M], var [M]).
+    """
+    L, alpha = cache
+    Ks = kernel.K(params["kernel"], X, Xnew)          # [N, M]
+    mean = Ks.T @ alpha
+    v = tri_solve(L, Ks, lower=True)                   # [N, M]
+    kss = kernel.Kdiag(params["kernel"], Xnew)
+    var = jnp.maximum(kss - jnp.sum(v * v, axis=0), 1e-15)
+    if include_likelihood:
+        var = var + noise_variance(params)
+    return mean, var
+
+
+@partial(jax.jit, static_argnums=0)
+def predict_mean_grad(kernel: Kernel, params, X, alpha, Xnew):
+    """dμ/dx* at each test point: [M, Q].
+
+    Generic over any kernel composition via reverse-mode autodiff of the
+    posterior mean μ(x*) = k(x*, X) α, vmapped across test points so the
+    k(x*, X) evaluations batch into MXU matmuls.  This is the exact analogue
+    of GPy's ``predictive_gradients(X)[0][:, :, 0]``
+    (``gp_model/base.py:222``).
+    """
+    kp = params["kernel"]
+
+    def mean_one(x):
+        return (kernel.K(kp, x[None, :], X)[0] * alpha).sum()
+
+    return jax.vmap(jax.grad(mean_one))(Xnew)
+
+
+@partial(jax.jit, static_argnums=0)
+def predict_var_grad(kernel: Kernel, params, X, cache, Xnew):
+    """d var/dx* at each test point: [M, Q] (GPy predictive_gradients[1])."""
+    L, _ = cache
+    kp = params["kernel"]
+
+    def var_one(x):
+        ks = kernel.K(kp, x[None, :], X)[0]
+        v = tri_solve(L, ks[:, None], lower=True)[:, 0]
+        kss = kernel.Kdiag(kp, x[None, :])[0]
+        return kss - v @ v
+
+    return jax.vmap(jax.grad(var_one))(Xnew)

@@ -1,0 +1,84 @@
+"""Cholesky-centric linear algebra with TPU-safe jitter handling.
+
+The reference delegates all of this to GPy/LAPACK (see SURVEY.md §2.2 G2/G3).
+Here the factorizations run through XLA's blocked TPU kernels; the jitter
+cascade is expressed with ``lax.while_loop`` so it stays inside ``jit``
+(no data-dependent Python control flow).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import MAX_JITTER_TRIES, base_jitter
+
+__all__ = ["safe_cholesky", "cho_solve", "tri_solve", "logdet_from_chol", "add_jitter"]
+
+
+def add_jitter(A: jnp.ndarray, jitter: jnp.ndarray | float) -> jnp.ndarray:
+    n = A.shape[-1]
+    return A + jitter * jnp.eye(n, dtype=A.dtype)
+
+
+def _choose_jitter(A_nograd: jnp.ndarray, jitter0: float) -> jnp.ndarray:
+    """Smallest jitter (0, j0, 10·j0, …) making chol(A + jitter·I) succeed.
+
+    Runs entirely on stopped-gradient values so the retry ``while_loop``
+    never sits on the autodiff path.
+    """
+    n = A_nograd.shape[-1]
+    eye = jnp.eye(n, dtype=A_nograd.dtype)
+    diag_mean = jnp.maximum(jnp.mean(jnp.diagonal(A_nograd)),
+                            jnp.asarray(1.0, A_nograd.dtype))
+
+    def jitter_at(i):
+        # i = 0 → no jitter; i = k → jitter0 · 10^(k−1) · mean(diag)
+        return jnp.where(
+            i == 0,
+            jnp.asarray(0.0, A_nograd.dtype),
+            jnp.asarray(jitter0, A_nograd.dtype) * (10.0 ** (i - 1)) * diag_mean)
+
+    def ok(i):
+        L = jnp.linalg.cholesky(A_nograd + jitter_at(i) * eye)
+        return jnp.all(jnp.isfinite(jnp.diagonal(L)))
+
+    def cond(i):
+        return jnp.logical_and(i < MAX_JITTER_TRIES, jnp.logical_not(ok(i)))
+
+    i = lax.while_loop(cond, lambda i: i + 1, jnp.asarray(0, jnp.int32))
+    return jitter_at(i)
+
+
+def safe_cholesky(A: jnp.ndarray, jitter0: float | None = None) -> jnp.ndarray:
+    """Lower Cholesky of a PSD matrix with escalating-jitter retries.
+
+    XLA's ``cholesky`` returns NaNs on indefinite input instead of raising,
+    so failure is detected by probing the factor and retried with jitter
+    scaled by 10x per attempt (GPy's ``jitchol`` strategy) — all inside jit.
+    The jitter search runs under ``stop_gradient``; the returned factor comes
+    from a single differentiable Cholesky, so reverse-mode ML-II works.
+    """
+    if jitter0 is None:
+        jitter0 = base_jitter(A.dtype)
+    jitter = _choose_jitter(lax.stop_gradient(A), jitter0)
+    n = A.shape[-1]
+    return jnp.linalg.cholesky(A + jitter * jnp.eye(n, dtype=A.dtype))
+
+
+def tri_solve(L: jnp.ndarray, B: jnp.ndarray, *, lower: bool = True,
+              trans: bool = False) -> jnp.ndarray:
+    """Triangular solve (XLA's blocked TPU triangular_solve)."""
+    return lax.linalg.triangular_solve(
+        L, B, left_side=True, lower=lower, transpose_a=trans)
+
+
+def cho_solve(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L Lᵀ) x = B given the lower Cholesky factor L."""
+    y = tri_solve(L, B, lower=True, trans=False)
+    return tri_solve(L, y, lower=True, trans=True)
+
+
+def logdet_from_chol(L: jnp.ndarray) -> jnp.ndarray:
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))

@@ -1,0 +1,150 @@
+"""Variational GP classification (binary, probit link).
+
+Native replacement for ``GPy.models.GPClassification`` /
+``SparseGPClassification`` (bound at
+``/root/reference/edrgp/gp_model/classification.py:63-64,146-149``).  GPy
+uses EP / EP-DTC; here the non-Gaussian likelihood is handled with a
+whitened Gaussian variational posterior optimized jointly with the kernel
+hyperparameters — same predictive surface (``predict`` returns
+P(y=1 | x*) = Φ(μ*/√(1+σ*²)), the exact probit-Gaussian integral that EP
+also reports), but expressed as one differentiable bound so the whole fit is
+a single jitted L-BFGS (TPU-idiomatic; no per-site host loops).
+
+Full model:   q(f) = N(L_K m̃, L_K S̃ S̃ᵀ L_Kᵀ)   (whitened, f = L_K ε)
+Sparse model: q(u) whitened over M inducing points, f|u collapsed.
+
+ELBO = Σᵢ E_q[log Φ((2yᵢ−1) fᵢ)] − KL(q‖p), with the expectation computed
+by Gauss-Hermite quadrature (exact enough at 20 points; fully vectorized).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kernels import Kernel
+from .linalg import safe_cholesky, tri_solve
+
+__all__ = ["vgp_elbo", "vgp_predict_latent", "svgp_cls_elbo",
+           "svgp_cls_predict_latent", "probit"]
+
+_GH_POINTS = 20
+_gh_x, _gh_w = np.polynomial.hermite_e.hermegauss(_GH_POINTS)
+_GH_X = jnp.asarray(_gh_x)                       # standard-normal nodes
+_GH_W = jnp.asarray(_gh_w / math.sqrt(2 * math.pi))  # weights sum to 1
+
+
+def probit(z):
+    return 0.5 * (1.0 + jax.lax.erf(z / math.sqrt(2.0)))
+
+
+def _log_probit(z):
+    """Numerically stable log Φ(z)."""
+    return jax.scipy.stats.norm.logcdf(z)
+
+
+def _expected_log_lik(y_sign, mu, var):
+    """Σᵢ E_{N(f;μᵢ,σᵢ²)}[log Φ(yᵢ f)] via Gauss-Hermite (vectorized)."""
+    sd = jnp.sqrt(jnp.maximum(var, 1e-12))
+    # nodes: [N, Q] = μ + σ·x_q
+    f = mu[:, None] + sd[:, None] * _GH_X[None, :].astype(mu.dtype)
+    ll = _log_probit(y_sign[:, None] * f)
+    return jnp.sum(ll @ _GH_W.astype(mu.dtype))
+
+
+def _unpack_tril(flat, n):
+    """Flat vector → lower-triangular matrix with softplus-positive diag."""
+    L = jnp.zeros((n, n), flat.dtype)
+    idx = jnp.tril_indices(n)
+    L = L.at[idx].set(flat)
+    diag = jnp.diagonal(L)
+    pos = jnp.logaddexp(diag, 0.0)  # softplus, keeps S PD
+    return L - jnp.diag(diag) + jnp.diag(pos)
+
+
+def init_variational_params(n: int, dtype) -> dict:
+    """Whitened q: m̃ = 0, S̃ = I (raw tril with inv-softplus(1) diag)."""
+    tril = np.zeros(n * (n + 1) // 2)
+    # diagonal entries sit at positions k(k+3)/2 in row-major tril order
+    diag_pos = [k * (k + 1) // 2 + k for k in range(n)]
+    tril[diag_pos] = math.log(math.e - 1.0)  # inv_softplus(1)
+    return {"m": jnp.zeros((n,), dtype), "tril": jnp.asarray(tril, dtype)}
+
+
+def _kl_whitened(m, S):
+    """KL(N(m, SSᵀ) ‖ N(0, I)) for lower-tri S."""
+    diag = jnp.diagonal(S)
+    return 0.5 * (jnp.sum(S * S) + m @ m - S.shape[0]
+                  - 2.0 * jnp.sum(jnp.log(jnp.abs(diag) + 1e-30)))
+
+
+@partial(jax.jit, static_argnums=0)
+def vgp_elbo(kernel: Kernel, params, X, y_sign):
+    """Full (non-sparse) whitened VGP classification ELBO.
+
+    params: {"kernel": ..., "m": [N], "tril": [N(N+1)/2]}.
+    """
+    n = X.shape[0]
+    K = kernel.K(params["kernel"], X, X)
+    LK = safe_cholesky(K)
+    S = _unpack_tril(params["tril"], n)
+    mu = LK @ params["m"]
+    # Marginal variances of q(f): rows of L_K S
+    A = LK @ S
+    var = jnp.sum(A * A, axis=1)
+    return _expected_log_lik(y_sign, mu, var) - _kl_whitened(params["m"], S)
+
+
+@partial(jax.jit, static_argnums=0)
+def vgp_predict_latent(kernel: Kernel, params, X, Xnew):
+    """Predictive latent mean/var at Xnew under the whitened q."""
+    K = kernel.K(params["kernel"], X, X)
+    LK = safe_cholesky(K)
+    Ks = kernel.K(params["kernel"], X, Xnew)          # [N, M]
+    A = tri_solve(LK, Ks, lower=True)                  # L⁻¹ Ks
+    mean = A.T @ params["m"]
+    S = _unpack_tril(params["tril"], X.shape[0])
+    SA = S.T @ A                                       # [N, M]
+    kss = kernel.Kdiag(params["kernel"], Xnew)
+    var = kss - jnp.sum(A * A, axis=0) + jnp.sum(SA * SA, axis=0)
+    return mean, jnp.maximum(var, 1e-12)
+
+
+@partial(jax.jit, static_argnums=0)
+def svgp_cls_elbo(kernel: Kernel, params, X, y_sign):
+    """Sparse whitened VGP classification ELBO (EP-DTC capability stand-in).
+
+    params: {"kernel": ..., "Z": [M,Q], "m": [M], "tril": [M(M+1)/2]}.
+    """
+    Z = params["Z"]
+    m_ind = Z.shape[0]
+    Kuu = kernel.K(params["kernel"], Z, Z)
+    LK = safe_cholesky(Kuu)
+    Kuf = kernel.K(params["kernel"], Z, X)             # [M, N]
+    A = tri_solve(LK, Kuf, lower=True)                 # [M, N] = L⁻¹Kuf
+    S = _unpack_tril(params["tril"], m_ind)
+    mu = A.T @ params["m"]
+    SA = S.T @ A
+    kdiag = kernel.Kdiag(params["kernel"], X)
+    var = kdiag - jnp.sum(A * A, axis=0) + jnp.sum(SA * SA, axis=0)
+    return (_expected_log_lik(y_sign, mu, jnp.maximum(var, 1e-12))
+            - _kl_whitened(params["m"], S))
+
+
+@partial(jax.jit, static_argnums=0)
+def svgp_cls_predict_latent(kernel: Kernel, params, Xnew):
+    Z = params["Z"]
+    Kuu = kernel.K(params["kernel"], Z, Z)
+    LK = safe_cholesky(Kuu)
+    Kus = kernel.K(params["kernel"], Z, Xnew)
+    A = tri_solve(LK, Kus, lower=True)
+    S = _unpack_tril(params["tril"], Z.shape[0])
+    mean = A.T @ params["m"]
+    SA = S.T @ A
+    kss = kernel.Kdiag(params["kernel"], Xnew)
+    var = kss - jnp.sum(A * A, axis=0) + jnp.sum(SA * SA, axis=0)
+    return mean, jnp.maximum(var, 1e-12)

@@ -1,0 +1,201 @@
+"""EDR statistical/integration tests.
+
+Mirrors the reference suite (``/root/reference/edrgp/tests/test_edr.py``)
+including the commented-out aspirational tests the build is expected to keep
+enabled (SURVEY.md §4): iterative subspace recovery, gradient/transform
+shapes, sparse refit, and BlockEDR block-structure assertions.
+"""
+
+import numpy as np
+import pytest
+from copy import deepcopy
+from scipy.sparse import random as random_sparse
+from sklearn.decomposition import PCA, SparsePCA
+from sklearn.feature_selection import mutual_info_regression
+from sklearn.preprocessing import StandardScaler
+
+from edrgp_tpu import (BlockEDR, EffectiveDimensionalityReduction,
+                       SVDTransformer, discrepancy)
+from edrgp_tpu.datasets import (get_beta_inputs, get_edr_target,
+                                get_gaussian_inputs, get_tanh_targets)
+from edrgp_tpu.models import GaussianProcessRegressor
+
+
+def get_2d_data(mean=None, seed=7):
+    if mean is None:
+        mean = [0, 0]
+    rng = np.random.default_rng(seed)
+    X = get_gaussian_inputs(
+        eig_values=[1, 0.3], sample_size=500,
+        eig_vectors=np.array([[1, 1], [-1, 1]]), mean=mean, rng=rng)
+    y = get_tanh_targets(X, [0.5, 0.5], rng=rng)
+    return X, y
+
+
+@pytest.mark.parametrize("mean", [[0, 0], [10, -10]])
+def test_mi(mean):
+    """1-component EDR on 2-D tanh data must carry > 1 nat of MI
+    (reference tests/test_edr.py:53-61)."""
+    X, y = get_2d_data(mean)
+    edr = EffectiveDimensionalityReduction(
+        GaussianProcessRegressor(), SVDTransformer(), n_components=1,
+        normalize=True)
+    edr.fit(X, y)
+    mi = mutual_info_regression(edr.transform(X), y, random_state=0)[0]
+    assert mi > 1
+
+
+@pytest.mark.parametrize("normalize", [True, False])
+def test_translation(normalize):
+    """Learned components are translation invariant (reference :64-77)."""
+    X, y = get_2d_data(mean=[10, -10])
+    edr = EffectiveDimensionalityReduction(
+        GaussianProcessRegressor(), SVDTransformer(), n_components=1,
+        normalize=normalize)
+    edr.fit(X, y)
+    comps_shift = edr.components_.copy()
+
+    X = X - X.mean(0)
+    edr2 = deepcopy(edr)
+    edr2.fit(X, y)
+    comps_no_shift = edr2.components_
+    np.testing.assert_allclose(np.abs(comps_shift), np.abs(comps_no_shift),
+                               rtol=1e-3)
+
+
+@pytest.mark.parametrize("mean", [[0, 0, 0, 0], [10, -10, 100, -100]])
+def test_preprocess(mean):
+    """Translation invariance with a PCA preprocessor (reference :80-100)."""
+    rng = np.random.default_rng(11)
+    X = get_gaussian_inputs(eig_values=[1, 0.3, 0.001, 0.001],
+                            sample_size=500, mean=mean, rng=rng)
+    y = get_tanh_targets(X, [0.5, 0.5, 0, 0], rng=rng)
+
+    def fit_one(Xin):
+        edr = EffectiveDimensionalityReduction(
+            GaussianProcessRegressor(), SVDTransformer(), n_components=1,
+            normalize=True, preprocessor=PCA(n_components=2))
+        edr.fit(Xin, y)
+        return edr.components_
+
+    comps_shift = fit_one(X)
+    comps_no_shift = fit_one(X - X.mean(0))
+    np.testing.assert_allclose(np.abs(comps_shift), np.abs(comps_no_shift),
+                               rtol=1e-3)
+
+
+@pytest.mark.parametrize("mean", [[0, 0], [10, -10]])
+def test_scaling(mean):
+    """normalize=True inside ≡ StandardScaler outside (reference :103-117)."""
+    X, y = get_2d_data(mean)
+    edr_sc = EffectiveDimensionalityReduction(
+        GaussianProcessRegressor(), SVDTransformer(), normalize=True)
+    edr_sc.fit(X, y)
+    x1 = edr_sc.transform(X - np.mean(X, axis=0))
+
+    edr = EffectiveDimensionalityReduction(
+        GaussianProcessRegressor(), SVDTransformer(), normalize=False)
+    X_scaled = StandardScaler().fit_transform(X)
+    x2 = edr.fit_transform(X_scaled, y)
+    np.testing.assert_allclose(x1, x2, atol=1e-6)
+
+
+@pytest.mark.parametrize("n_components,step", [(3, 1), (None, 0.99)])
+def test_iterative(n_components, step):
+    """Iterative EDR recovers a sparse 3-D subspace of 10-D inputs
+    (reference :120-134, commented-out; enabled here per SURVEY.md §4)."""
+    rng = np.random.default_rng(0)
+    X = get_beta_inputs(300, 10, rng=rng)
+    B = np.linalg.qr(random_sparse(10, 3, density=0.3,
+                                   random_state=0).toarray())[0]
+    y = get_edr_target(X @ B, 0.1, rng=rng)
+
+    gp_model = GaussianProcessRegressor(["RBF"], [{"ARD": True}])
+    edr = EffectiveDimensionalityReduction(
+        gp_model, SVDTransformer(), n_components=n_components, step=step,
+        normalize=False)
+    edr.fit(X, y)
+    assert discrepancy(B, edr.components_.T) < 1e-1
+    assert edr.components_.shape[0] == 3
+    assert np.all(edr.subspace_variance_ratio_
+                  == np.sort(edr.subspace_variance_ratio_)[::-1])
+
+
+@pytest.mark.parametrize("normalize,preprocessor",
+                         [(False, None), (True, None),
+                          (True, PCA(n_components=5))])
+def test_get_gradients_and_transform(normalize, preprocessor):
+    """Gradient/transform shape contracts (reference :137-157)."""
+    rng = np.random.default_rng(0)
+    X = get_beta_inputs(300, 10, rng=rng)
+    B = np.linalg.qr(random_sparse(10, 3, density=0.3,
+                                   random_state=0).toarray())[0]
+    y = get_edr_target(X @ B, 0.1, rng=rng)
+
+    gp_model = GaussianProcessRegressor(["RBF"], [{"ARD": True}])
+    edr = EffectiveDimensionalityReduction(
+        gp_model, SVDTransformer(), step=2, n_components=3,
+        normalize=normalize, preprocessor=preprocessor)
+    edr.fit(X, y)
+    assert edr.transform(X).shape == (300, 3)
+    assert edr.get_estimator_gradients(X).shape == X.shape
+
+
+@pytest.mark.parametrize("normalize,preprocessor",
+                         [(False, None), (True, None),
+                          (True, PCA(n_components=5))])
+def test_refit(normalize, preprocessor):
+    """Sparse refit from cached gradients (reference :160-178)."""
+    rng = np.random.default_rng(0)
+    X = get_beta_inputs(300, 10, rng=rng)
+    B = np.linalg.qr(random_sparse(10, 3, density=0.3,
+                                   random_state=0).toarray())[0]
+    y = get_edr_target(X @ B, 0.1, rng=rng)
+
+    gp_model = GaussianProcessRegressor(["RBF"], [{"ARD": True}])
+    edr = EffectiveDimensionalityReduction(
+        gp_model, SVDTransformer(), step=0.99, normalize=normalize,
+        preprocessor=preprocessor)
+    edr.fit(X, y)
+    edr.refit(SparsePCA(n_components=3, random_state=0))
+    assert edr.transform(X, refitted=True).shape == (300, 3)
+
+
+def test_block():
+    """BlockEDR produces a block-diagonal projector (reference :180-198)."""
+    rng = np.random.default_rng(0)
+    X = get_beta_inputs(300, 10, rng=rng)
+    B = np.linalg.qr(random_sparse(10, 3, density=0.4,
+                                   random_state=0).toarray())[0]
+    B[:5, :2] = 0
+    B[5:, 2:] = 0
+    y = get_edr_target(X @ B, 0.1, rng=rng)
+
+    gp_model = GaussianProcessRegressor(["RBF"], [{"ARD": True}])
+    edr = BlockEDR(gp_model, SVDTransformer(),
+                   n_components=[2, 2],
+                   blocks=[list(range(5)), list(range(5, 10))])
+    edr.fit(X, y)
+    X_transform = edr.transform(X)
+    assert X_transform.shape == (300, 4)
+    assert np.all(edr.components_.T[5:, :2] == 0)
+    assert np.all(edr.components_.T[:5, 2:4] == 0)
+
+    edr.refit(SparsePCA(n_components=3, random_state=0))
+    X_refit = edr.transform(X, refitted=True)
+    # SparsePCA(3) per block → up to 6 total, minus dropped zero components
+    assert X_refit.shape[0] == 300
+    assert X_refit.shape[1] <= 6
+
+
+def test_feature_importances_and_inverse_transform():
+    X, y = get_2d_data()
+    edr = EffectiveDimensionalityReduction(
+        GaussianProcessRegressor(), SVDTransformer(), n_components=1,
+        normalize=True)
+    edr.fit(X, y)
+    fi = edr.feature_importances_
+    assert fi.shape == (1, 2)
+    Xt = edr.transform(X)
+    Xrec = edr.inverse_transform(Xt)
+    assert Xrec.shape == X.shape

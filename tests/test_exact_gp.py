@@ -1,0 +1,161 @@
+"""Exact GP engine tests: NLML closed form, gradients, prediction, ML-II fit.
+
+Template per SURVEY.md §4: unit-test NLML against a NumPy closed form;
+check predictive gradients against finite differences (the G4 contract,
+``gp_model/base.py:222``); statistical fit-quality checks with seeds.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from edrgp_tpu.ops import exact
+from edrgp_tpu.ops.kernels import RBF, inv_positive
+from edrgp_tpu.models.regression import (GaussianProcessRegressor,
+                                         SparseGaussianProcessRegressor)
+
+
+def _toy(n=40, seed=0):
+    rng = np.random.default_rng(seed)
+    X = np.linspace(0, 6, n)[:, None]
+    y = np.sin(X[:, 0]) + 0.1 * rng.normal(size=n)
+    return X, y
+
+
+def test_nlml_matches_numpy():
+    X, y = _toy()
+    k = RBF(1)
+    params = {"kernel": k.init_params(),
+              "raw_noise": inv_positive(jnp.asarray(0.1))}
+    ours = float(exact.nlml(k, params, jnp.asarray(X), jnp.asarray(y)))
+
+    # NumPy reference: 0.5(n log 2π + log|K| + yᵀK⁻¹y)
+    d2 = (X - X.T) ** 2
+    Kmat = np.exp(-0.5 * d2) + 0.1 * np.eye(len(X))
+    sign, logdet = np.linalg.slogdet(Kmat)
+    ref = 0.5 * (len(X) * np.log(2 * np.pi) + logdet
+                 + y @ np.linalg.solve(Kmat, y))
+    np.testing.assert_allclose(ours, ref, rtol=1e-8)
+
+
+def test_nlml_grad_matches_fd():
+    X, y = _toy()
+    k = RBF(1)
+    params = {"kernel": k.init_params(),
+              "raw_noise": inv_positive(jnp.asarray(0.3))}
+    Xj, yj = jnp.asarray(X), jnp.asarray(y)
+    g = jax.grad(lambda p: exact.nlml(k, p, Xj, yj))(params)
+    eps = 1e-6
+    for path, val in [(("raw_noise",), params["raw_noise"]),
+                      (("kernel", "variance"), params["kernel"]["variance"])]:
+        def at(v):
+            p = jax.tree_util.tree_map(lambda x: x, params)
+            if len(path) == 1:
+                p = dict(p); p[path[0]] = v
+            else:
+                p = dict(p); p[path[0]] = dict(p[path[0]]); p[path[0]][path[1]] = v
+            return float(exact.nlml(k, p, Xj, yj))
+        fd = (at(val + eps) - at(val - eps)) / (2 * eps)
+        got = g[path[0]] if len(path) == 1 else g[path[0]][path[1]]
+        np.testing.assert_allclose(float(got), fd, rtol=1e-5)
+
+
+def test_fit_recovers_function():
+    X, y = _toy(n=60)
+    gp = GaussianProcessRegressor()
+    gp.fit(X, y)
+    pred = gp.predict(X)
+    assert np.sqrt(np.mean((pred - np.sin(X[:, 0])) ** 2)) < 0.1
+    # noise estimate should be near the true 0.01 variance
+    assert 1e-4 < gp.estimator_.noise_variance < 0.1
+
+
+def test_predict_gradient_matches_fd():
+    X, y = _toy(n=50)
+    gp = GaussianProcessRegressor()
+    gp.fit(X, y)
+    g = gp.predict_gradient(X)
+    assert g.shape == (50, 1)
+    eps = 1e-5
+    fd = (gp.predict(X + eps) - gp.predict(X - eps)) / (2 * eps)
+    np.testing.assert_allclose(g[:, 0], fd, rtol=1e-4, atol=1e-6)
+
+
+def test_predict_variance_positive_and_shrinks():
+    X, y = _toy(n=50)
+    gp = GaussianProcessRegressor()
+    gp.fit(X, y)
+    var_train = gp.predict_variance(X)
+    assert var_train.shape == (50, 1)
+    assert np.all(var_train > 0)
+    far = np.array([[100.0]])
+    var_far = gp.predict_variance(far)
+    # far from data the variance reverts toward prior + noise
+    assert var_far[0, 0] > var_train.mean()
+
+
+def test_sparse_matches_exact_loglik():
+    """The reference's acceptance bar (tests/test_edr.py:33-50): |gap| < 0.5."""
+    rng = np.random.default_rng(101)
+    n = 50
+    X = np.linspace(0, 10, n)[:, None]
+    d2 = (X - X.T) ** 2
+    Kmat = np.exp(-0.5 * d2) + np.eye(n) * np.sqrt(0.05)
+    y = rng.multivariate_normal(np.zeros(n), Kmat)
+
+    gp = GaussianProcessRegressor()
+    gp.fit(X, y)
+    sgp = SparseGaussianProcessRegressor(num_inducing=12)
+    sgp.fit(X, y)
+    gap = abs(gp.estimator_.log_likelihood()
+              - sgp.estimator_.log_likelihood()[0][0])
+    assert gap < 0.5
+
+
+def test_normalizer_semantics():
+    """normalizer=True standardizes y internally and un-normalizes
+    predictions (regression.py:26-30)."""
+    X, y = _toy(n=50)
+    y_shift = y + 100.0
+    gp = GaussianProcessRegressor()
+    gp.fit(X, y_shift)
+    pred = gp.predict(X)
+    assert abs(pred.mean() - y_shift.mean()) < 1.0
+
+
+def test_save_load_roundtrip(tmp_path):
+    X, y = _toy(n=40)
+    gp = GaussianProcessRegressor()
+    gp.fit(X, y)
+    path = str(tmp_path / "model")
+    gp.save(path)  # auto-appends .pickle (gp_model/base.py:237-238)
+    assert (tmp_path / "model.pickle").exists()
+
+    gp2 = GaussianProcessRegressor()
+    gp2.load(path)
+    np.testing.assert_allclose(gp2.predict(X), gp.predict(X), rtol=1e-10)
+    np.testing.assert_allclose(gp2.predict_gradient(X),
+                               gp.predict_gradient(X), rtol=1e-10)
+
+
+def test_ard_kernel_prunes_irrelevant_dim():
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(80, 2))
+    y = np.tanh(X[:, 0]) + 0.05 * rng.normal(size=80)  # dim 1 irrelevant
+    gp = GaussianProcessRegressor(kernels=["RBF"], kernel_options=[{"ARD": True}])
+    gp.fit(X, y)
+    from edrgp_tpu.ops.kernels import positive
+    ls = np.asarray(positive(gp.estimator_.params["kernel"]["lengthscale"]))
+    assert ls[1] > 3 * ls[0]  # irrelevant dim gets a long lengthscale
+
+
+def test_optimize_restarts():
+    X, y = _toy(n=40)
+    gp = GaussianProcessRegressor(method="optimize_restarts")
+    gp.fit(X, y, num_restarts=3)
+    base = GaussianProcessRegressor()
+    base.fit(X, y)
+    # restarts can only do at least as well (same or better NLML)
+    assert (gp.estimator_.log_likelihood()
+            >= base.estimator_.log_likelihood() - 1e-3)

@@ -1,0 +1,90 @@
+"""Unit tests for projector utilities (reference utils.py parity + bug fixes)."""
+
+import numpy as np
+import pytest
+
+from edrgp_tpu.utils import (SVDTransformer, discrepancy, ort_space,
+                             subspace_variance_ratio)
+
+
+def test_ort_space():
+    A = np.array([[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]])
+    U = ort_space(A)
+    assert U.shape == (3, 1)
+    np.testing.assert_allclose(np.abs(U[:, 0]), [0, 0, 1], atol=1e-12)
+
+
+def test_subspace_variance_ratio_orthonormal():
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(100, 4))
+    V = np.linalg.qr(rng.normal(size=(4, 2)))[0]
+    sv, ratio = subspace_variance_ratio(X, V)
+    assert sv.shape == (2,) and ratio.shape == (2,)
+    assert np.all(ratio >= 0) and ratio.sum() <= 1 + 1e-12
+
+
+def test_subspace_variance_ratio_non_orthonormal_is_per_component():
+    """Reference bug (utils.py:48-52) returned a scalar here; we fix it."""
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(50, 3))
+    V = rng.normal(size=(3, 2))  # not orthonormal
+    sv, ratio = subspace_variance_ratio(X, V)
+    assert sv.shape == (2,)
+    assert ratio.shape == (2,)
+
+
+def test_subspace_variance_full_basis_sums_to_one():
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(60, 3))
+    V = np.eye(3)
+    _, ratio = subspace_variance_ratio(X, V)
+    np.testing.assert_allclose(ratio.sum(), 1.0, rtol=1e-10)
+
+
+def test_discrepancy_zero_for_containment():
+    rng = np.random.default_rng(3)
+    V = np.linalg.qr(rng.normal(size=(5, 3)))[0]
+    B = V[:, :2]
+    assert discrepancy(B, V) < 1e-12
+    # orthogonal complement is maximally discrepant
+    U = ort_space(V)
+    assert discrepancy(U, V) > 0.1
+
+
+class TestSVDTransformer:
+    X = np.random.default_rng(4).normal(size=(30, 5)) * np.array([3, 2, 1, .5, .1])
+
+    def test_keep_all(self):
+        t = SVDTransformer().fit(self.X)
+        assert t.components_.shape == (5, 5)
+        np.testing.assert_allclose(t.subspace_variance_ratio_.sum(), 1.0,
+                                   rtol=1e-10)
+
+    def test_int_components(self):
+        t = SVDTransformer(n_components=2).fit(self.X)
+        assert t.components_.shape == (2, 5)
+        assert t.transform(self.X).shape == (30, 2)
+
+    def test_float_components(self):
+        """Reference bug (utils.py:149 NameError); fixed branch."""
+        t = SVDTransformer(n_components=0.9).fit(self.X)
+        assert 1 <= t.components_.shape[0] <= 5
+        assert np.cumsum(t.subspace_variance_ratio_)[-1] >= 0.9
+
+    def test_sorted_energy(self):
+        t = SVDTransformer().fit(self.X)
+        sv = t.subspace_variance_
+        assert np.all(sv[:-1] >= sv[1:])
+
+    def test_invalid(self):
+        with pytest.raises(ValueError):
+            SVDTransformer(n_components=99).fit(self.X)
+        with pytest.raises(ValueError):
+            SVDTransformer(n_components="x").fit(self.X)
+
+    def test_no_centering(self):
+        """Unlike PCA, SVDTransformer must not center: a pure offset changes
+        the components."""
+        t1 = SVDTransformer(n_components=1).fit(self.X)
+        t2 = SVDTransformer(n_components=1).fit(self.X + 100.0)
+        assert not np.allclose(np.abs(t1.components_), np.abs(t2.components_))
