@@ -1,0 +1,166 @@
+"""Fitted classification model objects (GPy-compatible surface).
+
+Native equivalents of ``GPy.models.GPClassification`` /
+``SparseGPClassification`` as driven by the reference adapters
+(``/root/reference/edrgp/gp_model/classification.py:63-64,146-149``):
+``predict`` returns the class-1 probability (GPy Bernoulli semantics),
+``predictive_gradients`` returns gradients of the *latent* posterior mean,
+``log_likelihood`` reports the variational bound.  Inference is whitened
+VI with Gauss-Hermite expectations (see :mod:`edrgp_tpu.ops.vgp`) instead
+of GPy's EP — same predictive surface, one jitted L-BFGS fit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import default_dtype
+from ..inference.lbfgs import minimize, minimize_restarts
+from ..ops import vgp as _vgp
+from ..ops.kernels import Kernel
+from . import state as _state
+from .state import _BaseModel, _perturb_inits
+
+__all__ = ["VGPClassificationModel", "SparseVGPClassificationModel"]
+
+
+@partial(jax.jit, static_argnames=("kernel", "max_iters", "tol"))
+def _fit_vgp(kernel: Kernel, init, X, y, *, max_iters: int, tol: float):
+    obj = lambda p: -_vgp.vgp_elbo(kernel, p, X, y)
+    return minimize(obj, init, max_iters=max_iters, tol=tol)
+
+
+@partial(jax.jit, static_argnames=("kernel", "max_iters", "tol"))
+def _fit_vgp_restarts(kernel: Kernel, init_batch, X, y, *, max_iters: int,
+                      tol: float):
+    obj = lambda p: -_vgp.vgp_elbo(kernel, p, X, y)
+    return minimize_restarts(obj, init_batch, max_iters=max_iters, tol=tol)
+
+
+@partial(jax.jit, static_argnames=("kernel", "max_iters", "tol"))
+def _fit_svgp_cls(kernel: Kernel, init, X, y, *, max_iters: int, tol: float):
+    obj = lambda p: -_vgp.svgp_cls_elbo(kernel, p, X, y)
+    return minimize(obj, init, max_iters=max_iters, tol=tol)
+
+
+@partial(jax.jit, static_argnames=("kernel", "max_iters", "tol"))
+def _fit_svgp_cls_restarts(kernel: Kernel, init_batch, X, y, *,
+                           max_iters: int, tol: float):
+    obj = lambda p: -_vgp.svgp_cls_elbo(kernel, p, X, y)
+    return minimize_restarts(obj, init_batch, max_iters=max_iters, tol=tol)
+
+
+class _BaseClsModel(_BaseModel):
+    """Shared classification surface over the VI engine."""
+
+    def _latent(self, Xnew):
+        raise NotImplementedError
+
+    def log_likelihood(self) -> float:
+        return float(self._elbo_fn(self.kernel, self.params, self._X, self._y))
+
+    def predict(self, Xnew, include_likelihood: bool = True):
+        """(P(y=1|x*) [M,1], latent var [M,1]) — GPy Bernoulli predict."""
+        Xnew = jnp.asarray(Xnew, self._X.dtype)
+        mean, var = self._latent(Xnew)
+        proba = _vgp.probit(mean / jnp.sqrt(1.0 + var))
+        return np.asarray(proba)[:, None], np.asarray(var)[:, None]
+
+    def predictive_gradients(self, Xnew):
+        """Gradients of the latent posterior mean (EDR consumes [0])."""
+        Xnew = jnp.asarray(Xnew, self._X.dtype)
+        grad_fn = jax.vmap(jax.grad(lambda x: self._latent_mean_one(x)))
+        dmu = np.asarray(grad_fn(Xnew))          # [M, Q]
+        return dmu[:, :, None], np.zeros_like(dmu)
+
+    @property
+    def noise_variance(self) -> float:  # no Gaussian likelihood here
+        return 0.0
+
+
+class VGPClassificationModel(_BaseClsModel):
+    """Full (non-sparse) variational GP binary classifier."""
+
+    _fit_fn = staticmethod(_fit_vgp)
+    _fit_restarts_fn = staticmethod(_fit_vgp_restarts)
+    _elbo_fn = staticmethod(_vgp.vgp_elbo)
+
+    def __init__(self, X: np.ndarray, y: np.ndarray, kernel: Kernel,
+                 mean_function=None, dtype=None):
+        dtype = dtype or default_dtype()
+        self.kernel = kernel
+        self.mean_function = mean_function
+        self.normalizer = None
+        y = np.asarray(y).reshape(-1)
+        classes = np.unique(y)
+        if classes.size != 2:
+            raise ValueError(f"binary classification requires 2 classes, got {classes}")
+        self.classes_ = classes
+        self._X = jnp.asarray(X, dtype)
+        self._y = jnp.asarray(np.where(y == classes[1], 1.0, -1.0), dtype)
+        self.params = {"kernel": kernel.init_params(dtype),
+                       **_vgp.init_variational_params(X.shape[0], dtype)}
+        self._objective = float("nan")
+        self._cache = None
+
+    def _latent(self, Xnew):
+        return _vgp.vgp_predict_latent(self.kernel, self.params, self._X, Xnew)
+
+    def _latent_mean_one(self, x):
+        mean, _ = _vgp.vgp_predict_latent(self.kernel, self.params, self._X,
+                                          x[None, :])
+        return mean[0]
+
+
+class SparseVGPClassificationModel(_BaseClsModel):
+    """Sparse (inducing-point) variational GP binary classifier
+    (EP-DTC capability equivalent)."""
+
+    _fit_fn = staticmethod(_fit_svgp_cls)
+    _fit_restarts_fn = staticmethod(_fit_svgp_cls_restarts)
+    _elbo_fn = staticmethod(_vgp.svgp_cls_elbo)
+
+    def __init__(self, X: np.ndarray, y: np.ndarray, kernel: Kernel,
+                 Z: Optional[np.ndarray] = None, num_inducing: int = 10,
+                 likelihood=None, mean_function=None, dtype=None,
+                 seed: int = 0):
+        dtype = dtype or default_dtype()
+        if likelihood is not None:
+            raise NotImplementedError(
+                "custom likelihoods beyond Bernoulli-probit are not supported")
+        self.kernel = kernel
+        self.mean_function = mean_function
+        self.normalizer = None
+        y = np.asarray(y).reshape(-1)
+        classes = np.unique(y)
+        if classes.size != 2:
+            raise ValueError(f"binary classification requires 2 classes, got {classes}")
+        self.classes_ = classes
+        self._X = jnp.asarray(X, dtype)
+        self._y = jnp.asarray(np.where(y == classes[1], 1.0, -1.0), dtype)
+        if Z is None:
+            rng = np.random.default_rng(seed)
+            m = min(int(num_inducing), X.shape[0])
+            Z = np.asarray(X)[rng.permutation(X.shape[0])[:m]]
+        self.params = {"kernel": kernel.init_params(dtype),
+                       "Z": jnp.asarray(Z, dtype),
+                       **_vgp.init_variational_params(Z.shape[0], dtype)}
+        self._objective = float("nan")
+        self._cache = None
+
+    def _latent(self, Xnew):
+        return _vgp.svgp_cls_predict_latent(self.kernel, self.params, Xnew)
+
+    def _latent_mean_one(self, x):
+        mean, _ = _vgp.svgp_cls_predict_latent(self.kernel, self.params,
+                                               x[None, :])
+        return mean[0]
+
+
+_state._MODEL_CLASSES["VGPClassificationModel"] = VGPClassificationModel
+_state._MODEL_CLASSES["SparseVGPClassificationModel"] = SparseVGPClassificationModel

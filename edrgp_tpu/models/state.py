@@ -144,6 +144,7 @@ class _BaseModel:
             "y": np.asarray(self._y),
             "normalizer": self.normalizer,
             "objective": self._objective,
+            "classes": getattr(self, "classes_", None),
         }
         with open(path, "wb") as f:
             _pickle.dump(state, f)
@@ -300,6 +301,8 @@ def load_model(path: str):
     obj._objective = state["objective"]
     obj._cache = None
     obj.mean_function = None
+    if state.get("classes") is not None:
+        obj.classes_ = state["classes"]
     if cls is ExactGPModel:
         obj._mean_shift = None
     return obj
