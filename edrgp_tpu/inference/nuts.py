@@ -1,0 +1,296 @@
+"""No-U-Turn Sampler (iterative, fixed-budget, vmappable).
+
+TPU-native NUTS for GP hyperparameter posteriors (north-star component;
+the reference has no sampler at all).  Design constraints that shape the
+implementation:
+
+  * no recursion / data-dependent Python control flow — the doubling tree
+    is built with ``lax.while_loop``s whose bounds are traced values;
+  * all chains identical program — vmap across chains, shard chains over a
+    mesh axis (see :mod:`edrgp_tpu.parallel.sharded`);
+  * generalized multinomial NUTS (Betancourt 2017): within-subtree
+    progressive multinomial sampling, biased progressive sampling across
+    doublings;
+  * full dyadic U-turn checks via the prefix-sum checkpoint scheme (one
+    slot per tree level, O(max_depth) memory): a balanced subtree
+    ``[n−2^k+1, n]`` closes at leaf ``n`` iff ``2^k | (n+1)``, and its
+    momentum sum is reconstructed from a prefix-sum checkpoint written when
+    the interval opened (``2^k | n``).
+
+Step size / mass adaptation reuses the HMC window adaptation
+(:mod:`edrgp_tpu.inference.hmc`), including pooled-across-chains ε via
+``axis_name``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.flatten_util import ravel_pytree
+
+from .hmc import (AdaptState, HMCState, _finalize_mass, init_state,
+                  window_adaptation_init, window_adaptation_update)
+
+__all__ = ["nuts_step", "run_nuts", "run_nuts_pytree"]
+
+_DIVERGENCE_THRESHOLD = 1000.0
+
+
+def _tz(n):
+    """Trailing zeros of a positive int32 (vectorized bit trick)."""
+    shifts = jnp.arange(32, dtype=n.dtype)
+    bits = (n >> shifts) & 1
+    # index of first set bit
+    return jnp.argmax(bits > 0)
+
+
+def _is_turning(inv_mass, p_left, p_right, rho):
+    """Generalized U-turn: either end's velocity opposes the interval sum."""
+    v_left = inv_mass * p_left
+    v_right = inv_mass * p_right
+    return (jnp.dot(v_left, rho) <= 0) | (jnp.dot(v_right, rho) <= 0)
+
+
+class _TreeState(NamedTuple):
+    # edges, in global trajectory time
+    q_left: jnp.ndarray
+    p_left: jnp.ndarray
+    grad_left: jnp.ndarray
+    q_right: jnp.ndarray
+    p_right: jnp.ndarray
+    grad_right: jnp.ndarray
+    # proposal (multinomially sampled from the tree)
+    q_prop: jnp.ndarray
+    logp_prop: jnp.ndarray
+    grad_prop: jnp.ndarray
+    log_sum_w: jnp.ndarray   # log total tree weight
+    rho: jnp.ndarray         # momentum sum over the tree (global time)
+    depth: jnp.ndarray
+    turning: jnp.ndarray
+    diverging: jnp.ndarray
+    sum_accept: jnp.ndarray  # Σ min(1, e^{ΔE}) over leaves (for adaptation)
+    n_leaves: jnp.ndarray
+
+
+def _build_subtree(logprob_fn, q0, p0, grad0, v, eps, inv_mass, n_leaves,
+                   energy0, key, max_depth):
+    """Integrate ``n_leaves`` leapfrog steps in direction v from one edge.
+
+    Runs in the subtree's local time (momentum q̇ = +p); returns edge state,
+    subtree multinomial proposal, log weight, momentum sum, and stop flags.
+    Prefix-sum checkpoints implement the dyadic U-turn checks.
+    """
+    D = q0.shape[0]
+    dt = q0.dtype
+
+    def cond(s):
+        return (s["n"] < n_leaves) & ~s["turning"] & ~s["diverging"]
+
+    def body(s):
+        n = s["n"]
+        # -- leapfrog step (local time, step +eps)
+        p_half = s["p"] + 0.5 * eps * s["grad"]
+        q = s["q"] + eps * inv_mass * p_half
+        logp, grad = jax.value_and_grad(logprob_fn)(q)
+        p = p_half + 0.5 * eps * grad
+
+        energy = logp - 0.5 * jnp.sum(p * p * inv_mass)
+        log_w = energy - energy0
+        diverging = (energy0 - energy) > _DIVERGENCE_THRESHOLD
+        log_w = jnp.where(jnp.isfinite(log_w), log_w, -jnp.inf)
+
+        # -- checkpoint opens: intervals [n, n+2^k−1] for k ≤ tz(n)
+        t_open = jnp.where(n == 0, jnp.int32(max_depth), _tz(n).astype(jnp.int32))
+        slots = jnp.arange(max_depth + 1, dtype=jnp.int32)
+        open_mask = slots <= t_open
+        p_start = jnp.where(open_mask[:, None], p[None, :], s["p_start"])
+        psum_before = jnp.where(open_mask[:, None], s["psum"][None, :],
+                                s["psum_before"])
+
+        psum = s["psum"] + p
+
+        # -- checkpoint closes: intervals [n−2^k+1, n] for k ≤ tz(n+1)
+        t_close = _tz((n + 1).astype(jnp.int32)).astype(jnp.int32)
+        close_mask = slots <= jnp.minimum(t_close, jnp.int32(max_depth))
+        rho_k = psum[None, :] - psum_before                      # [K+1, D]
+        turn_k = jax.vmap(lambda pl, r: _is_turning(inv_mass, pl, p, r))(
+            p_start, rho_k)
+        turning = jnp.any(turn_k & close_mask)
+
+        # -- progressive multinomial proposal within the subtree
+        log_sum_w = jnp.logaddexp(s["log_sum_w"], log_w)
+        key, sub = jax.random.split(s["key"])
+        take = (jnp.log(jax.random.uniform(sub, dtype=dt))
+                < (log_w - log_sum_w))
+        q_prop = jnp.where(take, q, s["q_prop"])
+        logp_prop = jnp.where(take, logp, s["logp_prop"])
+        grad_prop = jnp.where(take, grad, s["grad_prop"])
+
+        accept = jnp.minimum(1.0, jnp.exp(jnp.minimum(log_w, 0.0)))
+        return {
+            "n": n + 1, "q": q, "p": p, "grad": grad,
+            "psum": psum, "p_start": p_start, "psum_before": psum_before,
+            "log_sum_w": log_sum_w, "q_prop": q_prop,
+            "logp_prop": logp_prop, "grad_prop": grad_prop,
+            "turning": turning, "diverging": diverging,
+            "sum_accept": s["sum_accept"] + accept, "key": key,
+        }
+
+    init = {
+        "n": jnp.int32(0), "q": q0, "p": p0, "grad": grad0,
+        "psum": jnp.zeros(D, dt),
+        "p_start": jnp.zeros((max_depth + 1, D), dt),
+        "psum_before": jnp.zeros((max_depth + 1, D), dt),
+        "log_sum_w": jnp.asarray(-jnp.inf, dt),
+        "q_prop": q0, "logp_prop": jnp.asarray(-jnp.inf, dt),
+        "grad_prop": grad0,
+        "turning": jnp.asarray(False), "diverging": jnp.asarray(False),
+        "sum_accept": jnp.zeros((), dt), "key": key,
+    }
+    out = lax.while_loop(cond, body, init)
+    return out
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def nuts_step(logprob_fn: Callable, state: HMCState, key, eps, inv_mass,
+              max_depth: int = 8):
+    """One NUTS transition.  Returns (HMCState, info)."""
+    dt = state.q.dtype
+    key_mom, key_loop = jax.random.split(key)
+    p0 = jax.random.normal(key_mom, state.q.shape, dt) / jnp.sqrt(inv_mass)
+    energy0 = state.logp - 0.5 * jnp.sum(p0 * p0 * inv_mass)
+
+    tree = _TreeState(
+        q_left=state.q, p_left=p0, grad_left=state.grad,
+        q_right=state.q, p_right=p0, grad_right=state.grad,
+        q_prop=state.q, logp_prop=state.logp, grad_prop=state.grad,
+        log_sum_w=jnp.zeros((), dt),
+        rho=p0, depth=jnp.int32(0),
+        turning=jnp.asarray(False), diverging=jnp.asarray(False),
+        sum_accept=jnp.zeros((), dt), n_leaves=jnp.int32(1),
+    )
+
+    def cond(carry):
+        tree, _ = carry
+        return (tree.depth < max_depth) & ~tree.turning & ~tree.diverging
+
+    def body(carry):
+        tree, key = carry
+        key, k_dir, k_sub, k_bias = jax.random.split(key, 4)
+        v = jnp.where(jax.random.bernoulli(k_dir),
+                      jnp.asarray(1.0, dt), jnp.asarray(-1.0, dt))
+        go_right = v > 0
+
+        q0 = jnp.where(go_right, tree.q_right, tree.q_left)
+        p0_local = jnp.where(go_right, tree.p_right, -tree.p_left)
+        grad0 = jnp.where(go_right, tree.grad_right, tree.grad_left)
+
+        sub = _build_subtree(logprob_fn, q0, p0_local, grad0, v, eps,
+                             inv_mass, jnp.int32(2) ** tree.depth, energy0,
+                             k_sub, max_depth)
+        sub_ok = ~sub["turning"] & ~sub["diverging"]
+
+        # new edge in global time (leftward momenta flip back)
+        q_edge, p_edge_local, grad_edge = sub["q"], sub["p"], sub["grad"]
+        p_edge = jnp.where(go_right, p_edge_local, -p_edge_local)
+        q_left = jnp.where(go_right, tree.q_left, q_edge)
+        p_left = jnp.where(go_right, tree.p_left, p_edge)
+        grad_left = jnp.where(go_right, tree.grad_left, grad_edge)
+        q_right = jnp.where(go_right, q_edge, tree.q_right)
+        p_right = jnp.where(go_right, p_edge, tree.p_right)
+        grad_right = jnp.where(go_right, grad_edge, tree.grad_right)
+
+        # biased progressive sampling: favor the new subtree
+        log_ratio = sub["log_sum_w"] - tree.log_sum_w
+        take_new = (jnp.log(jax.random.uniform(k_bias, dtype=dt))
+                    < log_ratio) & sub_ok
+        q_prop = jnp.where(take_new, sub["q_prop"], tree.q_prop)
+        logp_prop = jnp.where(take_new, sub["logp_prop"], tree.logp_prop)
+        grad_prop = jnp.where(take_new, sub["grad_prop"], tree.grad_prop)
+
+        rho = tree.rho + v * sub["psum"]
+        full_turning = _is_turning(inv_mass, p_left, p_right, rho)
+
+        new_tree = _TreeState(
+            q_left=q_left, p_left=p_left, grad_left=grad_left,
+            q_right=q_right, p_right=p_right, grad_right=grad_right,
+            q_prop=q_prop, logp_prop=logp_prop, grad_prop=grad_prop,
+            log_sum_w=jnp.logaddexp(tree.log_sum_w, sub["log_sum_w"]),
+            rho=rho, depth=tree.depth + 1,
+            turning=sub["turning"] | (full_turning & sub_ok),
+            diverging=sub["diverging"],
+            sum_accept=tree.sum_accept + sub["sum_accept"],
+            n_leaves=tree.n_leaves + sub["n"],
+        )
+        return new_tree, key
+
+    tree, _ = lax.while_loop(cond, body, (tree, key_loop))
+
+    new_state = HMCState(q=tree.q_prop, logp=tree.logp_prop,
+                         grad=tree.grad_prop)
+    accept_stat = tree.sum_accept / jnp.maximum(
+        (tree.n_leaves - 1).astype(dt), 1.0)
+    return new_state, {"accept_stat": accept_stat,
+                       "diverged": tree.diverging,
+                       "depth": tree.depth,
+                       "n_leaves": tree.n_leaves}
+
+
+@partial(jax.jit, static_argnames=("logprob_fn", "num_warmup", "num_samples",
+                                   "max_depth", "axis_name"))
+def run_nuts(logprob_fn: Callable, q0: jnp.ndarray, key, *,
+             num_warmup: int = 500, num_samples: int = 500,
+             max_depth: int = 8, target_accept: float = 0.8,
+             axis_name: str | None = None):
+    """Full NUTS run for one chain (vmap for many; shard the vmapped axis
+    over a mesh for chain-parallel scale-out).  Same two-window adaptation
+    as :func:`edrgp_tpu.inference.hmc.run_hmc`."""
+    state = init_state(logprob_fn, q0)
+    adapt = window_adaptation_init(q0)
+    half = num_warmup // 2
+
+    def warm_step(carry, key):
+        state, adapt = carry
+        eps = jnp.exp(adapt.log_eps)
+        state, info = nuts_step(logprob_fn, state, key, eps, adapt.inv_mass,
+                                max_depth)
+        adapt = window_adaptation_update(adapt, state.q, info["accept_stat"],
+                                         target_accept, axis_name)
+        return (state, adapt), None
+
+    keys = jax.random.split(key, num_warmup + num_samples)
+    (state, adapt), _ = lax.scan(warm_step, (state, adapt), keys[:half])
+    adapt = _finalize_mass(adapt)
+    (state, adapt), _ = lax.scan(warm_step, (state, adapt),
+                                 keys[half:num_warmup])
+    adapt = _finalize_mass(adapt)
+    eps = jnp.exp(adapt.log_eps_avg)
+
+    def sample_step(state, key):
+        state, info = nuts_step(logprob_fn, state, key, eps, adapt.inv_mass,
+                                max_depth)
+        return state, (state.q, info["accept_stat"], info["diverged"],
+                       info["n_leaves"])
+
+    state, (qs, accs, divs, leaves) = lax.scan(sample_step, state,
+                                               keys[num_warmup:])
+    return qs, {"accept_rate": jnp.mean(accs),
+                "divergences": jnp.sum(divs),
+                "step_size": eps,
+                "mean_leapfrogs": jnp.mean(leaves.astype(qs.dtype)),
+                "inv_mass": adapt.inv_mass}
+
+
+def run_nuts_pytree(logprob_fn: Callable, init_params, key, **kw):
+    """Pytree-parameter adapter around :func:`run_nuts`."""
+    flat0, unravel = ravel_pytree(init_params)
+
+    def flat_logprob(qflat):
+        return logprob_fn(unravel(qflat))
+
+    qs, info = run_nuts(flat_logprob, flat0, key, **kw)
+    return jax.vmap(unravel)(qs), info

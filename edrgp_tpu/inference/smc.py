@@ -1,0 +1,153 @@
+"""Sequential Monte Carlo sampler (adaptive tempering + HMC moves).
+
+Particle-parallel component of the north star: an SMC sampler over GP
+hyperparameter posteriors with particles vmapped on-chip and shardable
+across hosts.  Resampling is *systematic* and expressed as a prefix-sum +
+searchsorted permutation — exactly the form that distributes as an
+``all_gather`` of per-shard weight sums plus a shard-local gather (see
+:mod:`edrgp_tpu.parallel.sharded` for the collective version).
+
+Algorithm (Del Moral et al. 2006, adaptive-β variant):
+  1. draw N particles from the prior;
+  2. find the next inverse temperature β so the incremental weights hit a
+     target ESS via bisection (inside jit, ``lax.while_loop``);
+  3. systematic-resample, then rejuvenate each particle with K HMC steps
+     targeting p(θ)^β·prior — all particles move in parallel under vmap;
+  4. repeat until β = 1.  Returns particles + the log-evidence estimate.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.flatten_util import ravel_pytree
+
+from .hmc import HMCState, hmc_step
+
+__all__ = ["systematic_resample", "run_smc", "run_smc_pytree", "ess"]
+
+
+def ess(log_w: jnp.ndarray) -> jnp.ndarray:
+    """Effective sample size of normalized log-weights."""
+    w = jax.nn.softmax(log_w)
+    return 1.0 / jnp.sum(w * w)
+
+
+def systematic_resample(key, log_w: jnp.ndarray) -> jnp.ndarray:
+    """Systematic resampling → ancestor indices [N].
+
+    One uniform offset, N evenly spaced points through the weight CDF —
+    lowest-variance O(N) scheme, and deterministic given (key, weights),
+    which makes the multi-host version reproducible across shards.
+    """
+    n = log_w.shape[0]
+    w = jax.nn.softmax(log_w)
+    cdf = jnp.cumsum(w)
+    u0 = jax.random.uniform(key, (), dtype=w.dtype)
+    pts = (u0 + jnp.arange(n, dtype=w.dtype)) / n
+    return jnp.clip(jnp.searchsorted(cdf, pts), 0, n - 1)
+
+
+def _next_beta(loglik: jnp.ndarray, beta: jnp.ndarray, target_ess: float):
+    """Bisect for the largest Δβ whose incremental weights keep ESS ≥ target."""
+    def ess_at(b):
+        return ess((b - beta) * loglik)
+
+    def cond(state):
+        lo, hi, it = state
+        return (it < 30) & ((hi - lo) > 1e-6)
+
+    def body(state):
+        lo, hi, it = state
+        mid = 0.5 * (lo + hi)
+        ok = ess_at(mid) >= target_ess
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid), it + 1
+
+    hi0 = jnp.asarray(1.0, loglik.dtype)
+    ok_full = ess_at(hi0) >= target_ess
+    lo, hi, _ = lax.while_loop(cond, body,
+                               (beta, hi0, jnp.int32(0)))
+    return jnp.where(ok_full, hi0, lo)
+
+
+@partial(jax.jit, static_argnames=("loglik_fn", "logprior_fn", "num_mcmc",
+                                   "n_leapfrog", "max_stages"))
+def run_smc(loglik_fn: Callable, logprior_fn: Callable,
+            particles0: jnp.ndarray, key, *,
+            num_mcmc: int = 5, n_leapfrog: int = 10, eps: float = 0.1,
+            target_ess_frac: float = 0.5, max_stages: int = 50):
+    """Adaptive-tempering SMC from prior samples ``particles0`` [N, D].
+
+    Returns (particles [N, D], info) with ``info["log_evidence"]`` the
+    tempered estimate of log Z and ``info["beta_trace"]`` the temperature
+    ladder actually taken (−1 padding past termination).
+    """
+    N, D = particles0.shape
+    dt = particles0.dtype
+    target = target_ess_frac * N
+
+    vlik = jax.vmap(loglik_fn)
+
+    def stage(carry, key_stage):
+        particles, beta, logZ, done = carry
+        k_res, k_mcmc = jax.random.split(key_stage)
+
+        loglik = vlik(particles)
+        new_beta = _next_beta(loglik, beta, target)
+        dbeta = new_beta - beta
+        log_w = dbeta * loglik
+        logZ_inc = jax.nn.logsumexp(log_w) - jnp.log(jnp.asarray(N, dt))
+
+        idx = systematic_resample(k_res, log_w)
+        particles = particles[idx]
+
+        # rejuvenation: K vmapped HMC sweeps at temperature new_beta
+        def temp_logprob(q):
+            return new_beta * loglik_fn(q) + logprior_fn(q)
+
+        def one_particle(q, keys):
+            st = HMCState(q=q, logp=temp_logprob(q),
+                          grad=jax.grad(temp_logprob)(q))
+            def sweep(st, k):
+                st, _ = hmc_step(temp_logprob, st, k, eps, jnp.ones(D, dt),
+                                 n_leapfrog)
+                return st, None
+            st, _ = lax.scan(sweep, st, keys)
+            return st.q
+
+        mkeys = jax.random.split(k_mcmc, N * num_mcmc).reshape(N, num_mcmc, 2)
+        particles = jnp.where(done, particles,
+                              jax.vmap(one_particle)(particles, mkeys))
+
+        new_logZ = jnp.where(done, logZ, logZ + logZ_inc)
+        new_done = done | (new_beta >= 1.0)
+        beta_out = jnp.where(done, jnp.asarray(-1.0, dt), new_beta)
+        return (particles, jnp.where(done, beta, new_beta), new_logZ,
+                new_done), beta_out
+
+    keys = jax.random.split(key, max_stages)
+    (particles, beta, logZ, done), betas = lax.scan(
+        stage, (particles0, jnp.zeros((), dt), jnp.zeros((), dt),
+                jnp.asarray(False)), keys)
+    return particles, {"log_evidence": logZ, "beta_trace": betas,
+                       "final_beta": beta, "converged": done}
+
+
+def run_smc_pytree(loglik_fn: Callable, logprior_fn: Callable,
+                   particles0_pytree, key, **kw):
+    """Pytree adapter: particles carry a leading particle axis per leaf."""
+    leaves = jax.tree_util.tree_leaves(particles0_pytree)
+    n = leaves[0].shape[0]
+    one = jax.tree_util.tree_map(lambda x: x[0], particles0_pytree)
+    _, unravel = ravel_pytree(one)
+    flat = jax.vmap(lambda p: ravel_pytree(p)[0])(particles0_pytree)
+
+    particles, info = run_smc(
+        lambda q: loglik_fn(unravel(q)),
+        lambda q: logprior_fn(unravel(q)),
+        flat, key, **kw)
+    return jax.vmap(unravel)(particles), info

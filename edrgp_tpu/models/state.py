@@ -287,10 +287,15 @@ class SGPRModel(_BaseModel):
 _MODEL_CLASSES = {"ExactGPModel": ExactGPModel, "SGPRModel": SGPRModel}
 
 
+_MODEL_LOADERS: dict = {}
+
+
 def load_model(path: str):
     """Round-trip partner of ``_BaseModel.pickle`` (native ``GPy.load``)."""
     with open(path, "rb") as f:
         state = _pickle.load(f)
+    if state["class"] in _MODEL_LOADERS:
+        return _MODEL_LOADERS[state["class"]](state)
     cls = _MODEL_CLASSES[state["class"]]
     obj = cls.__new__(cls)
     obj.kernel = state["kernel"]

@@ -1,0 +1,203 @@
+"""SVGP regression model and sklearn facade (the large-N flagship).
+
+Training loop: a single jitted ``lax.scan`` over optimization steps — per
+step one minibatch is gathered from HBM, hyperparameters (kernel, noise,
+inducing inputs) take an Adam step on the minibatch ELBO, and the
+variational posterior takes a closed-form natural-gradient step
+(:func:`edrgp_tpu.ops.svgp.natural_gradient_update`).  No host round-trips
+inside the loop.  The data-parallel multi-chip variant of the same step
+lives in :mod:`edrgp_tpu.parallel.sharded`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import default_dtype
+from ..ops import svgp as _svgp
+from ..ops.kernels import Kernel, RBF, inv_positive
+from .base import _BaseGP
+from .state import Normalizer, _BaseModel
+from . import state as _state
+
+__all__ = ["SVGPModel", "SVGPRegressor"]
+
+
+@partial(jax.jit, static_argnames=("kernel", "steps", "batch_size", "lr"))
+def _fit_svgp_scan(kernel: Kernel, params, qstate, X, y, key, *,
+                   steps: int, batch_size: int, lr: float):
+    """Jitted SVI loop; returns (params, qstate, elbo_trace)."""
+    n_total = X.shape[0]
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    def hyper_loss(p, m, S, Xb, yb):
+        return -_svgp.svgp_elbo(kernel, p, m, S, Xb, yb, n_total)
+
+    def step_fn(carry, step_idx):
+        params, qstate, opt_state, key = carry
+        key, sub = jax.random.split(key)
+        idx = jax.random.randint(sub, (batch_size,), 0, n_total)
+        Xb, yb = X[idx], y[idx]
+        m, S = _svgp.q_from_natural(qstate)
+        loss, grads = jax.value_and_grad(hyper_loss)(params, m, S, Xb, yb)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        # Robbins-Monro style step size for the natural-gradient leg.
+        rho = 0.5 / (1.0 + 0.05 * step_idx.astype(X.dtype))
+        qstate = _svgp.natural_gradient_update(kernel, params, qstate,
+                                               Xb, yb, n_total, rho)
+        return (params, qstate, opt_state, key), -loss
+
+    (params, qstate, _, _), elbos = jax.lax.scan(
+        step_fn, (params, qstate, opt_state, key),
+        jnp.arange(steps))
+    return params, qstate, elbos
+
+
+class SVGPModel(_BaseModel):
+    """Minibatch SVGP regression with the GPy-like model surface."""
+
+    def __init__(self, X: np.ndarray, y: np.ndarray, kernel: Kernel,
+                 Z: Optional[np.ndarray] = None, num_inducing: int = 128,
+                 normalizer: bool = True, noise_var: float = 1.0,
+                 dtype=None, seed: int = 0):
+        dtype = dtype or default_dtype()
+        self.kernel = kernel
+        self.mean_function = None
+        y = np.asarray(y).reshape(-1)
+        self.normalizer = Normalizer(y, enabled=bool(normalizer))
+        self._X = jnp.asarray(X, dtype)
+        self._y = jnp.asarray(self.normalizer.normalize(y), dtype)
+        if Z is None:
+            rng = np.random.default_rng(seed)
+            m = min(int(num_inducing), X.shape[0])
+            Z = np.asarray(X)[rng.permutation(X.shape[0])[:m]]
+        self.params = {
+            "kernel": kernel.init_params(dtype),
+            "raw_noise": inv_positive(jnp.asarray(noise_var, dtype)),
+            "Z": jnp.asarray(Z, dtype),
+        }
+        self.qstate = _svgp.init_svgp_state(Z.shape[0], dtype)
+        self._objective = float("nan")
+        self._seed = seed
+        self.elbo_trace_ = None
+
+    # --- fitting (optimize/optimize_restarts surface) ----------------------
+    def optimize(self, messages: bool = False, max_iters: int = 1000,
+                 batch_size: int = 256, lr: float = 3e-3, **_ignored):
+        batch_size = min(batch_size, self._X.shape[0])
+        key = jax.random.PRNGKey(self._seed)
+        params, qstate, elbos = _fit_svgp_scan(
+            self.kernel, self.params, self.qstate, self._X, self._y, key,
+            steps=int(max_iters), batch_size=int(batch_size), lr=float(lr))
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.qstate = qstate
+        self.elbo_trace_ = np.asarray(elbos)
+        self._objective = float(-elbos[-1])
+        if messages:
+            print(f"SVGP: final minibatch ELBO={float(elbos[-1]):.4f}")
+        return self
+
+    def optimize_restarts(self, num_restarts: int = 1, **kw):
+        # SVI is stochastic already; restarts degrade to a single run.
+        return self.optimize(**kw)
+
+    # --- posterior ---------------------------------------------------------
+    def _mS(self):
+        return _svgp.q_from_natural(self.qstate)
+
+    def log_likelihood(self):
+        m, S = self._mS()
+        val = float(_svgp.svgp_elbo(self.kernel, self.params, m, S,
+                                    self._X, self._y, self._X.shape[0]))
+        return np.array([[val]])
+
+    def predict(self, Xnew, include_likelihood: bool = True):
+        Xnew = jnp.asarray(Xnew, self._X.dtype)
+        m, S = self._mS()
+        mean, var = _svgp.svgp_predict(self.kernel, self.params, m, S, Xnew,
+                                       include_likelihood)
+        mean = self.normalizer.unnorm_mean(np.asarray(mean))
+        var = self.normalizer.unnorm_var(np.asarray(var))
+        return mean[:, None], var[:, None]
+
+    def predictive_gradients(self, Xnew):
+        Xnew = jnp.asarray(Xnew, self._X.dtype)
+        m, _ = self._mS()
+        dmu = _svgp.svgp_predict_mean_grad(self.kernel, self.params, m, Xnew)
+        dmu = self.normalizer.unnorm_grad(np.asarray(dmu))
+        return dmu[:, :, None], np.zeros_like(dmu)
+
+    def pickle(self, path: str):
+        import pickle as _pickle
+        state = {
+            "class": "SVGPModel",
+            "kernel": self.kernel,
+            "params": jax.tree_util.tree_map(np.asarray, self.params),
+            "qstate": jax.tree_util.tree_map(np.asarray, self.qstate),
+            "X": np.asarray(self._X),
+            "y": np.asarray(self._y),
+            "normalizer": self.normalizer,
+            "objective": self._objective,
+        }
+        with open(path, "wb") as f:
+            _pickle.dump(state, f)
+
+
+def _load_svgp(state):
+    obj = SVGPModel.__new__(SVGPModel)
+    obj.kernel = state["kernel"]
+    obj.params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+    obj.qstate = _svgp.SVGPState(*[jnp.asarray(v) for v in state["qstate"]])
+    obj._X = jnp.asarray(state["X"])
+    obj._y = jnp.asarray(state["y"])
+    obj.normalizer = state["normalizer"]
+    obj._objective = state["objective"]
+    obj.mean_function = None
+    obj.elbo_trace_ = None
+    obj._seed = 0
+    return obj
+
+
+_state._MODEL_CLASSES["SVGPModel"] = SVGPModel
+_state._MODEL_LOADERS = getattr(_state, "_MODEL_LOADERS", {})
+_state._MODEL_LOADERS["SVGPModel"] = _load_svgp
+
+
+class SVGPRegressor(_BaseGP):
+    """sklearn facade over :class:`SVGPModel` — the streaming counterpart of
+    ``SparseGaussianProcessRegressor`` for N far beyond chip memory."""
+
+    _estimator_type = "regressor"
+
+    def __init__(self, kernels=None, kernel_options=None, Z=None,
+                 num_inducing=128, normalizer=True, noise_var=1.0,
+                 batch_size=256, lr=3e-3, method="optimize"):
+        self.kernels = kernels
+        self.kernel_options = kernel_options
+        self.Z = Z
+        self.num_inducing = num_inducing
+        self.normalizer = normalizer
+        self.noise_var = noise_var
+        self.batch_size = batch_size
+        self.lr = lr
+        self.method = method
+
+    def _get_model(self, X, y, kernel):
+        if kernel is None:
+            kernel = RBF(X.shape[1])
+        return SVGPModel(X, y, kernel, Z=self.Z,
+                         num_inducing=self.num_inducing,
+                         normalizer=self.normalizer, noise_var=self.noise_var)
+
+    def fit(self, X, y, **opt_kws):
+        opt_kws.setdefault("batch_size", self.batch_size)
+        opt_kws.setdefault("lr", self.lr)
+        return super().fit(X, y, **opt_kws)

@@ -35,10 +35,10 @@ def _choose_jitter(A_nograd: jnp.ndarray, jitter0: float) -> jnp.ndarray:
 
     def jitter_at(i):
         # i = 0 → no jitter; i = k → jitter0 · 10^(k−1) · mean(diag)
-        return jnp.where(
-            i == 0,
-            jnp.asarray(0.0, A_nograd.dtype),
-            jnp.asarray(jitter0, A_nograd.dtype) * (10.0 ** (i - 1)) * diag_mean)
+        dt = A_nograd.dtype
+        growth = jnp.asarray(10.0, dt) ** (i - 1).astype(dt)
+        return jnp.where(i == 0, jnp.asarray(0.0, dt),
+                         jnp.asarray(jitter0, dt) * growth * diag_mean)
 
     def ok(i):
         L = jnp.linalg.cholesky(A_nograd + jitter_at(i) * eye)

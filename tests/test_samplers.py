@@ -1,0 +1,149 @@
+"""Sampler correctness: HMC/NUTS moment recovery on known targets, SMC
+evidence, and GP-hyperparameter posterior smoke (SURVEY.md §4 style —
+seeded statistical tests with tolerance bands)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from edrgp_tpu.inference.hmc import run_hmc
+from edrgp_tpu.inference.nuts import run_nuts, nuts_step
+from edrgp_tpu.inference.hmc import init_state
+from edrgp_tpu.inference.smc import run_smc, systematic_resample, ess
+
+
+A = jnp.asarray([[2.0, 0.5], [0.5, 1.0]])
+SIGMA = A @ A.T
+PREC = jnp.linalg.inv(SIGMA)
+MU = jnp.asarray([1.0, -2.0])
+
+
+def gauss_logprob(q):
+    d = q - MU
+    return -0.5 * d @ PREC @ d
+
+
+def test_hmc_moments():
+    qs, info = run_hmc(gauss_logprob, jnp.zeros(2), jax.random.PRNGKey(0),
+                       num_warmup=500, num_samples=3000, n_leapfrog=16)
+    assert info["divergences"] == 0
+    assert 0.6 < float(info["accept_rate"]) <= 1.0
+    np.testing.assert_allclose(np.asarray(qs.mean(0)), np.asarray(MU),
+                               atol=0.15)
+    np.testing.assert_allclose(np.cov(np.asarray(qs).T), np.asarray(SIGMA),
+                               atol=0.6)
+
+
+def test_nuts_moments():
+    qs, info = run_nuts(gauss_logprob, jnp.zeros(2), jax.random.PRNGKey(1),
+                        num_warmup=500, num_samples=3000, max_depth=8)
+    assert info["divergences"] == 0
+    np.testing.assert_allclose(np.asarray(qs.mean(0)), np.asarray(MU),
+                               atol=0.15)
+    np.testing.assert_allclose(np.cov(np.asarray(qs).T), np.asarray(SIGMA),
+                               atol=0.6)
+
+
+def test_nuts_adapts_trajectory_length():
+    """On a wide target NUTS should take >1 leapfrog per step on average;
+    divergent behaviour would show as depth-0 trees everywhere."""
+    _, info = run_nuts(gauss_logprob, jnp.zeros(2), jax.random.PRNGKey(2),
+                       num_warmup=300, num_samples=300, max_depth=8)
+    assert float(info["mean_leapfrogs"]) > 2.0
+
+
+def test_nuts_vmapped_chains():
+    q0 = jnp.zeros((4, 2))
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+    run = lambda q, k: run_nuts(gauss_logprob, q, k, num_warmup=300,
+                                num_samples=500, max_depth=6)
+    qs, info = jax.vmap(run)(q0, keys)
+    assert qs.shape == (4, 500, 2)
+    pooled = np.asarray(qs).reshape(-1, 2)
+    np.testing.assert_allclose(pooled.mean(0), np.asarray(MU), atol=0.15)
+
+
+def test_nuts_step_reversible_shapes():
+    state = init_state(gauss_logprob, jnp.zeros(2))
+    new, info = nuts_step(gauss_logprob, state, jax.random.PRNGKey(0),
+                          0.25, jnp.ones(2), 6)
+    assert new.q.shape == (2,)
+    assert np.isfinite(float(new.logp))
+    assert int(info["n_leaves"]) >= 1
+
+
+def test_systematic_resample_unbiased():
+    key = jax.random.PRNGKey(0)
+    log_w = jnp.log(jnp.asarray([0.1, 0.2, 0.3, 0.4]))
+    counts = np.zeros(4)
+    for i in range(200):
+        idx = systematic_resample(jax.random.fold_in(key, i), log_w)
+        counts += np.bincount(np.asarray(idx), minlength=4)
+    freq = counts / counts.sum()
+    np.testing.assert_allclose(freq, [0.1, 0.2, 0.3, 0.4], atol=0.02)
+
+
+def test_ess():
+    assert abs(float(ess(jnp.zeros(100))) - 100.0) < 1e-6
+    # one dominant weight → ESS ≈ 1
+    lw = jnp.asarray([0.0] + [-50.0] * 99)
+    assert float(ess(lw)) < 1.5
+
+
+def test_smc_evidence_and_moments():
+    def loglik(q):
+        return gauss_logprob(q)
+
+    def logprior(q):
+        return -0.5 * jnp.sum(q ** 2) / 25.0
+
+    parts0 = 5.0 * jax.random.normal(jax.random.PRNGKey(1), (1000, 2))
+    parts, info = run_smc(loglik, logprior, parts0, jax.random.PRNGKey(2),
+                          num_mcmc=5, n_leapfrog=10, eps=0.3)
+    assert bool(info["converged"])
+    # analytic: log ∫ exp(loglik) N(0, 25 I) = log[(2π)^{d/2}|Σ|^{1/2}
+    #           N(μ; 0, Σ + 25 I)]
+    from scipy.stats import multivariate_normal
+    S = np.asarray(SIGMA)
+    true_logZ = np.log((2 * np.pi) ** 1.0 * np.sqrt(np.linalg.det(S))
+                       * multivariate_normal.pdf(np.asarray(MU),
+                                                 mean=np.zeros(2),
+                                                 cov=S + 25 * np.eye(2)))
+    assert abs(float(info["log_evidence"]) - true_logZ) < 0.3
+    np.testing.assert_allclose(np.asarray(parts.mean(0)), np.asarray(MU),
+                               atol=0.3)
+
+
+def test_nuts_gp_hyperparameter_posterior():
+    """End-to-end: NUTS over exact-GP hyperparameters (the north-star
+    workload shape) — posterior mass should sit near the ML-II optimum."""
+    from edrgp_tpu.ops import exact
+    from edrgp_tpu.ops.kernels import RBF
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(np.linspace(0, 6, 40)[:, None])
+    y = jnp.asarray(np.sin(np.asarray(X[:, 0])) + 0.1 * rng.normal(size=40))
+    k = RBF(1)
+
+    from jax.flatten_util import ravel_pytree
+    p0 = {"kernel": k.init_params(jnp.float64),
+          "raw_noise": jnp.asarray(0.0)}
+    flat0, unravel = ravel_pytree(p0)
+
+    def logprob(q):
+        p = unravel(q)
+        # weak N(0, 3²) prior on the unconstrained params
+        return -exact.nlml(k, p, X, y) - 0.5 * jnp.sum(q ** 2) / 9.0
+
+    qs, info = run_nuts(logprob, flat0, jax.random.PRNGKey(0),
+                        num_warmup=300, num_samples=300, max_depth=8)
+    assert int(info["divergences"]) < 15
+    # posterior mean NLML should be close to the ML-II optimum
+    post_mean_nlml = float(exact.nlml(k, unravel(qs.mean(0)), X, y))
+    from edrgp_tpu.models.regression import GaussianProcessRegressor
+    gp = GaussianProcessRegressor()
+    gp.fit(np.asarray(X), np.asarray(y))
+    # gp log_likelihood is on normalized y; recompute optimum on raw y
+    from edrgp_tpu.inference.lbfgs import minimize
+    res = minimize(lambda p: exact.nlml(k, p, X, y), p0, max_iters=300)
+    assert post_mean_nlml < float(res.value) + 5.0
