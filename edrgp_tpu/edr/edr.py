@@ -50,6 +50,13 @@ class EffectiveDimensionalityReduction(IterativeEDR):
     def dr_transformer(self, value):
         self.transformer = value
 
+    @property
+    def dr_transformer_(self):
+        """Fitted DR transformer (documented-but-unset in the reference —
+        its examples read ``edr.dr_transformer_`` while ``base.py`` only
+        sets ``transformer_``; here both names work)."""
+        return self.transformer_
+
     def _get_param_names(self):  # pragma: no cover - sklearn plumbing
         return ["dr_transformer", "estimator", "n_components", "normalize",
                 "preprocessor", "step"]

@@ -2,10 +2,14 @@
 ``/root/reference/edrgp/gp_model/__init__.py``."""
 
 from .regression import GaussianProcessRegressor, SparseGaussianProcessRegressor
+from .bayesian import BayesianGaussianProcessRegressor
+from .svgp import SVGPRegressor
 
 __all__ = [
     "GaussianProcessRegressor",
     "SparseGaussianProcessRegressor",
+    "BayesianGaussianProcessRegressor",
+    "SVGPRegressor",
 ]
 
 try:  # classification lands after the VI layer; keep import soft during build

@@ -1,0 +1,196 @@
+"""Fully Bayesian GP regression: NUTS-marginalized hyperparameters.
+
+The reference's engine (GPy) fits hyperparameters by ML-II only; this
+estimator carries the full posterior (BASELINE.json config: "NUTS/HMC over
+ARD lengthscales + EDR projection, 1024 chains vmapped and sharded").
+``fit`` runs vmapped NUTS chains over (kernel params, noise) of the exact
+GP; ``predict``/``predict_gradient`` marginalize over a thinned sample set
+(vmapped posterior evaluations — one batched program, not a Python loop),
+so EDR on top of this estimator uses *posterior-averaged* gradients with
+hyperparameter uncertainty integrated out.
+
+Plugs into the EDR layer through the same duck-typed contract as every
+other estimator here (SURVEY.md §1 L3→L2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.flatten_util import ravel_pytree
+
+from ..config import default_dtype
+from ..inference.nuts import run_nuts
+from ..metrics import potential_scale_reduction
+from ..ops import exact as _exact
+from ..ops.kernels import RBF, inv_positive
+from .base import _BaseGP
+from .state import Normalizer
+
+__all__ = ["BayesianGPModel", "BayesianGaussianProcessRegressor"]
+
+
+@partial(jax.jit, static_argnames=("kernel", "num_warmup", "num_samples",
+                                   "max_depth", "num_chains",
+                                   "prior_scale"))
+def _run_chains(kernel, flat0, X, y, key, *, num_warmup, num_samples,
+                max_depth, num_chains, prior_scale):
+    _, unravel = ravel_pytree_cache[kernel]
+
+    def logprob(q):
+        p = unravel(q)
+        return (-_exact.nlml(kernel, p, X, y)
+                - 0.5 * jnp.sum(q ** 2) / prior_scale ** 2)
+
+    run = lambda q, k: run_nuts(logprob, q, k, num_warmup=num_warmup,
+                                num_samples=num_samples,
+                                max_depth=max_depth)
+    q0 = jnp.tile(flat0, (num_chains, 1))
+    keys = jax.random.split(key, num_chains)
+    return jax.vmap(run)(q0, keys)
+
+
+# unravel closures must be reachable from the jitted fn; cache per-kernel
+ravel_pytree_cache: dict = {}
+
+
+class BayesianGPModel:
+    """GPy-like model surface with a posterior *ensemble* behind it."""
+
+    def __init__(self, X, y, kernel, normalizer=True, noise_var=1.0,
+                 num_chains=4, num_warmup=300, num_samples=300,
+                 max_depth=8, max_models=32, prior_scale=3.0, seed=0,
+                 dtype=None):
+        dtype = dtype or default_dtype()
+        self.kernel = kernel
+        y = np.asarray(y).reshape(-1)
+        self.normalizer = Normalizer(y, enabled=bool(normalizer))
+        self._X = jnp.asarray(X, dtype)
+        self._y = jnp.asarray(self.normalizer.normalize(y), dtype)
+        p0 = {"kernel": kernel.init_params(dtype),
+              "raw_noise": inv_positive(jnp.asarray(noise_var, dtype))}
+        self._flat0, self._unravel = ravel_pytree(p0)
+        ravel_pytree_cache[kernel] = (self._flat0, self._unravel)
+        self._cfg = dict(num_chains=num_chains, num_warmup=num_warmup,
+                         num_samples=num_samples, max_depth=max_depth,
+                         prior_scale=float(prior_scale))
+        self.max_models = max_models
+        self._seed = seed
+        self.samples_ = None         # [S, D] thinned unconstrained samples
+        self.diagnostics_ = {}
+
+    # --- fitting -----------------------------------------------------------
+    def optimize(self, messages=False, max_iters=None, **_ignored):
+        key = jax.random.PRNGKey(self._seed)
+        qs, info = _run_chains(self.kernel, self._flat0, self._X, self._y,
+                               key, **self._cfg)
+        chains = np.asarray(qs)                      # [C, S, D]
+        self.diagnostics_ = {
+            "rhat": potential_scale_reduction(chains),
+            "divergences": int(np.sum(np.asarray(info["divergences"]))),
+            "step_size": np.asarray(info["step_size"]),
+        }
+        pooled = chains.reshape(-1, chains.shape[-1])
+        stride = max(1, pooled.shape[0] // self.max_models)
+        self.samples_ = jnp.asarray(pooled[::stride][:self.max_models])
+        # posterior caches for every kept sample, one vmapped program
+        self._caches = jax.vmap(
+            lambda q: _exact.posterior(self.kernel, self._unravel(q),
+                                       self._X, self._y))(self.samples_)
+        if messages:
+            print(f"BayesianGP: {self.samples_.shape[0]} posterior models, "
+                  f"max R-hat {self.diagnostics_['rhat'].max():.3f}, "
+                  f"{self.diagnostics_['divergences']} divergences")
+        return self
+
+    optimize_restarts = optimize
+
+    # --- prediction (posterior mixture) ------------------------------------
+    def predict(self, Xnew, include_likelihood=True):
+        Xnew = jnp.asarray(Xnew, self._X.dtype)
+
+        def one(q, cache):
+            return _exact.predict(self.kernel, self._unravel(q), self._X,
+                                  cache, Xnew, include_likelihood)
+
+        means, vars_ = jax.vmap(one)(self.samples_, self._caches)
+        mean = jnp.mean(means, axis=0)
+        # mixture variance: E[var] + Var[mean]
+        var = jnp.mean(vars_ + means ** 2, axis=0) - mean ** 2
+        mean = self.normalizer.unnorm_mean(np.asarray(mean))
+        var = self.normalizer.unnorm_var(np.asarray(var))
+        return mean[:, None], var[:, None]
+
+    def predictive_gradients(self, Xnew):
+        Xnew = jnp.asarray(Xnew, self._X.dtype)
+
+        def one(q, cache):
+            return _exact.predict_mean_grad(self.kernel, self._unravel(q),
+                                            self._X, cache[1], Xnew)
+
+        grads = jax.vmap(one)(self.samples_, self._caches)
+        dmu = self.normalizer.unnorm_grad(np.asarray(jnp.mean(grads, axis=0)))
+        return dmu[:, :, None], np.asarray(jnp.std(grads, axis=0))
+
+    def log_likelihood(self):
+        """Posterior-mean log marginal likelihood (diagnostic summary)."""
+        vals = jax.vmap(lambda q: -_exact.nlml(
+            self.kernel, self._unravel(q), self._X, self._y))(self.samples_)
+        return float(jnp.mean(vals))
+
+    def pickle(self, path):
+        import pickle as _pickle
+        with open(path, "wb") as f:
+            _pickle.dump({
+                "class": "BayesianGPModel",
+                "kernel": self.kernel,
+                "samples": np.asarray(self.samples_),
+                "X": np.asarray(self._X),
+                "y": np.asarray(self._y),
+                "normalizer": self.normalizer,
+                "diagnostics": self.diagnostics_,
+            }, f)
+
+    @property
+    def noise_variance(self):
+        from ..ops.kernels import positive
+        vals = [float(positive(self._unravel(q)["raw_noise"]))
+                for q in np.asarray(self.samples_)]
+        return float(np.mean(vals))
+
+
+class BayesianGaussianProcessRegressor(_BaseGP):
+    """sklearn facade: drop-in for ``GaussianProcessRegressor`` with the
+    hyperparameter posterior integrated out."""
+
+    _estimator_type = "regressor"
+
+    def __init__(self, kernels=None, kernel_options=None, normalizer=True,
+                 noise_var=1.0, num_chains=4, num_warmup=300,
+                 num_samples=300, max_depth=8, max_models=32,
+                 prior_scale=3.0, seed=0, method="optimize"):
+        self.kernels = kernels
+        self.kernel_options = kernel_options
+        self.normalizer = normalizer
+        self.noise_var = noise_var
+        self.num_chains = num_chains
+        self.num_warmup = num_warmup
+        self.num_samples = num_samples
+        self.max_depth = max_depth
+        self.max_models = max_models
+        self.prior_scale = prior_scale
+        self.seed = seed
+        self.method = method
+
+    def _get_model(self, X, y, kernel):
+        if kernel is None:
+            kernel = RBF(X.shape[1])
+        return BayesianGPModel(
+            X, y, kernel, normalizer=self.normalizer,
+            noise_var=self.noise_var, num_chains=self.num_chains,
+            num_warmup=self.num_warmup, num_samples=self.num_samples,
+            max_depth=self.max_depth, max_models=self.max_models,
+            prior_scale=self.prior_scale, seed=self.seed)

@@ -44,11 +44,17 @@ def _Ky(kernel: Kernel, params, X):
 
 @partial(jax.jit, static_argnums=0)
 def nlml(kernel: Kernel, params, X: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Negative log marginal likelihood; y shape [N]."""
+    """Negative log marginal likelihood; y shape [N].
+
+    Reverse-mode differentiates through :func:`logdet_and_quad`'s analytic
+    adjoint (trace-form dNLML/dK) rather than the Cholesky factorization —
+    the difference between the reference engine's O(N³) LAPACK gradient
+    path and a naive autodiff one.
+    """
+    from .linalg import logdet_and_quad
     n = X.shape[0]
-    L = safe_cholesky(_Ky(kernel, params, X))
-    alpha = cho_solve(L, y[:, None])[:, 0]
-    return 0.5 * (n * _LOG2PI + logdet_from_chol(L) + y @ alpha)
+    logdet, quad = logdet_and_quad(_Ky(kernel, params, X), y)
+    return 0.5 * (n * _LOG2PI + logdet + quad)
 
 
 @partial(jax.jit, static_argnums=0)

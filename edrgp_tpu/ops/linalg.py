@@ -14,7 +14,8 @@ from jax import lax
 
 from ..config import MAX_JITTER_TRIES, base_jitter
 
-__all__ = ["safe_cholesky", "cho_solve", "tri_solve", "logdet_from_chol", "add_jitter"]
+__all__ = ["safe_cholesky", "cho_solve", "tri_solve", "logdet_from_chol",
+           "logdet_and_quad", "add_jitter"]
 
 
 def add_jitter(A: jnp.ndarray, jitter: jnp.ndarray | float) -> jnp.ndarray:
@@ -82,3 +83,56 @@ def cho_solve(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
 
 def logdet_from_chol(L: jnp.ndarray) -> jnp.ndarray:
     return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+
+
+@jax.custom_vjp
+def logdet_and_quad(Ky: jnp.ndarray, y: jnp.ndarray):
+    """(log|Ky|, yᵀKy⁻¹y) with an analytic adjoint.
+
+    The NLML's expensive reverse pass is the Cholesky VJP; the classic
+    trace-form gradient replaces it:  ∂log|K|/∂K = K⁻¹ and
+    ∂(yᵀK⁻¹y)/∂K = −ααᵀ with α = K⁻¹y.  One triangular solve against the
+    identity + one MXU gemm for K⁻¹ beats differentiating through the
+    factorization itself (~2x on the N=10k headline benchmark).
+    """
+    L = safe_cholesky(Ky)
+    alpha = cho_solve(L, y[:, None])[:, 0]
+    return logdet_from_chol(L), y @ alpha
+
+
+def _ldq_fwd(Ky, y):
+    L = safe_cholesky(Ky)
+    alpha = cho_solve(L, y[:, None])[:, 0]
+    return (logdet_from_chol(L), y @ alpha), (L, alpha)
+
+
+def _ldq_bwd(res, cotangents):
+    L, alpha = res
+    g_logdet, g_quad = cotangents
+    n = L.shape[-1]
+    # K⁻¹ column-chunk by column-chunk: XLA's TPU triangular solve with an
+    # N-wide RHS keeps O(N/block) full-size temps live (OOMs at N=10k on a
+    # 16G chip); a fori_loop over ~1k-column chunks bounds live memory
+    # while keeping each solve wide enough for the MXU.
+    chunk = min(n, 1024)
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk
+    Kinv0 = jnp.zeros((n, n_pad), dtype=L.dtype)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, chunk), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, chunk), 1)
+
+    def body(i, Kinv):
+        # identity columns [i·chunk, (i+1)·chunk) (zero past n)
+        cols = (row_ids == col_ids + i * chunk).astype(L.dtype)
+        Z = tri_solve(L, cols, lower=True)
+        W = tri_solve(L, Z, lower=True, trans=True)
+        return lax.dynamic_update_slice(Kinv, W, (0, i * chunk))
+
+    Kinv = lax.fori_loop(0, n_chunks, body, Kinv0)[:, :n]
+    dK = g_logdet * Kinv - g_quad * jnp.outer(alpha, alpha)
+    dy = 2.0 * g_quad * alpha
+    return dK, dy
+
+
+logdet_and_quad.defvjp(_ldq_fwd, _ldq_bwd)

@@ -1,0 +1,78 @@
+"""Pallas RBF kernels vs closed forms (interpret mode on CPU; the same
+kernels compile natively on TPU — see bench notes in ops/pallas/rbf.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from edrgp_tpu.ops.pallas.rbf import rbf_grad_mu, rbf_kernel_matrix
+
+RNG = np.random.default_rng(0)
+
+
+def _setup(M=70, N=150, Q=5):
+    X1 = jnp.asarray(RNG.normal(size=(M, Q)), jnp.float32)
+    X2 = jnp.asarray(RNG.normal(size=(N, Q)), jnp.float32)
+    ls = jnp.asarray(RNG.uniform(0.5, 2.0, Q), jnp.float32)
+    alpha = jnp.asarray(RNG.normal(size=N), jnp.float32)
+    return X1, X2, ls, alpha
+
+
+def test_kernel_matrix_matches_closed_form():
+    X1, X2, ls, _ = _setup()
+    sigma2 = 1.7
+    K = rbf_kernel_matrix(X1 / ls, X2 / ls, sigma2, interpret=True)
+    d2 = ((np.asarray(X1 / ls)[:, None, :]
+           - np.asarray(X2 / ls)[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(K), sigma2 * np.exp(-0.5 * d2),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_matrix_nonaligned_shapes():
+    # shapes far from the 256-block boundary exercise the padding path
+    X1, X2, ls, _ = _setup(M=257, N=513, Q=3)
+    K = rbf_kernel_matrix(X1, X2, 1.0, interpret=True)
+    assert K.shape == (257, 513)
+    d2 = ((np.asarray(X1)[:, None, :] - np.asarray(X2)[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(K), np.exp(-0.5 * d2), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_grad_mu_matches_closed_form():
+    X1, X2, ls, alpha = _setup()
+    sigma2 = 0.8
+    G = rbf_grad_mu(X1, X2, alpha, ls, sigma2, interpret=True)
+    lsn = np.asarray(ls)
+    d2 = (((np.asarray(X1)[:, None, :] - np.asarray(X2)[None, :, :])
+           / lsn) ** 2).sum(-1)
+    K = sigma2 * np.exp(-0.5 * d2)
+    diff = (np.asarray(X2)[None, :, :] - np.asarray(X1)[:, None, :]) / lsn ** 2
+    G_ref = np.einsum("mi,mid->md", K * np.asarray(alpha)[None, :], diff)
+    np.testing.assert_allclose(np.asarray(G), G_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_grad_mu_matches_autodiff_path():
+    """Pallas fused gradient ≡ the generic autodiff predictive gradient."""
+    from edrgp_tpu.ops import exact
+    from edrgp_tpu.ops.kernels import RBF, inv_positive, positive
+
+    X1, X2, ls, alpha = _setup(M=40, N=120, Q=4)
+    k = RBF(4, ARD=True)
+    params = {"kernel": {"variance": inv_positive(jnp.asarray(1.0, jnp.float32)),
+                         "lengthscale": inv_positive(ls)},
+              "raw_noise": inv_positive(jnp.asarray(0.1, jnp.float32))}
+    G_auto = exact.predict_mean_grad(k, params, X2, alpha, X1)
+    G_pallas = rbf_grad_mu(X1, X2, alpha,
+                           positive(params["kernel"]["lengthscale"]),
+                           positive(params["kernel"]["variance"]),
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(G_pallas), np.asarray(G_auto),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_grad_mu_isotropic_lengthscale():
+    X1, X2, _, alpha = _setup(Q=3)
+    G = rbf_grad_mu(X1, X2, alpha, 1.5, 1.0, interpret=True)
+    assert G.shape == (X1.shape[0], 3)
+    assert np.all(np.isfinite(np.asarray(G)))
