@@ -1,0 +1,114 @@
+"""Multi-chip scaling harness: NUTS samples/s and SVGP steps/s vs mesh size.
+
+The north-star scaling target is >80% efficiency from 1 chip → 1 host →
+N hosts (BASELINE.json).  This harness measures it on whatever devices are
+attached: for each mesh size d in {1, 2, 4, ..., n_devices} it runs the
+chain-parallel NUTS program (chains_per_device × d chains) and the
+data-parallel SVGP step, reporting throughput and efficiency relative to
+the 1-device run.
+
+On a single-chip dev box this exercises the virtual CPU mesh (correctness
+of the sweep, not meaningful wall-clock); on a pod slice the same script
+reports real ICI scaling.  Results print as JSON lines, one per (workload,
+mesh size).
+
+Usage:  python benchmarks/scaling.py [--chains-per-device 8]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chains-per-device", type=int, default=8)
+    ap.add_argument("--num-warmup", type=int, default=100)
+    ap.add_argument("--num-samples", type=int, default=100)
+    ap.add_argument("--svgp-steps", type=int, default=50)
+    ap.add_argument("--batch-per-device", type=int, default=1024)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from edrgp_tpu.ops import svgp as _svgp
+    from edrgp_tpu.ops.kernels import RBF, inv_positive
+    from edrgp_tpu.parallel.mesh import make_mesh, shard_along
+    from edrgp_tpu.parallel.sharded import (make_sharded_svgp_step,
+                                            run_sharded_nuts)
+
+    n_dev = len(jax.devices())
+    sizes = [d for d in (1, 2, 4, 8, 16, 32, 64) if d <= n_dev]
+    dtype = jnp.float32
+
+    mu = jnp.asarray(np.linspace(-1, 1, 8), dtype)
+
+    def logprob(q):
+        return -0.5 * jnp.sum((q - mu) ** 2)
+
+    base = {}
+    for d in sizes:
+        mesh = make_mesh(("chain", "data"),
+                         shape=(d, 1), devices=jax.devices()[:d])
+
+        # ---- chain-parallel NUTS ------------------------------------
+        C = args.chains_per_device * d
+        q0 = jax.device_put(jnp.zeros((C, 8), dtype),
+                            shard_along(mesh, "chain", 2))
+        keys = jax.device_put(jax.random.split(jax.random.PRNGKey(0), C),
+                              shard_along(mesh, "chain", 2))
+        qs, _ = run_sharded_nuts(logprob, q0, keys, mesh,
+                                 num_warmup=args.num_warmup,
+                                 num_samples=args.num_samples, max_depth=6)
+        jax.block_until_ready(qs)              # compile + warm
+        t0 = time.perf_counter()
+        qs, _ = run_sharded_nuts(logprob, q0, keys, mesh,
+                                 num_warmup=args.num_warmup,
+                                 num_samples=args.num_samples, max_depth=6)
+        jax.block_until_ready(qs)
+        dt = time.perf_counter() - t0
+        thpt = C * args.num_samples / dt
+        base.setdefault("nuts", thpt)
+        print(json.dumps({
+            "workload": "nuts_chains", "devices": d, "chains": C,
+            "samples_per_s": round(thpt, 1),
+            "efficiency": round(thpt / (base["nuts"] * d), 3),
+        }), flush=True)
+
+        # ---- data-parallel SVGP -------------------------------------
+        rng = np.random.default_rng(0)
+        N, Q, M = 100_000, 8, 128
+        B = args.batch_per_device * d
+        Xb_np = rng.normal(size=(B, Q)).astype(np.float32)
+        yb_np = np.sin(Xb_np[:, 0]).astype(np.float32)
+        kern = RBF(Q, ARD=True)
+        params = {"kernel": kern.init_params(dtype),
+                  "raw_noise": inv_positive(jnp.asarray(1.0, dtype)),
+                  "Z": jnp.asarray(Xb_np[:M], dtype)}
+        qstate = _svgp.init_svgp_state(M, dtype)
+        step, opt_init = make_sharded_svgp_step(kern, mesh, n_total=N)
+        opt_state = opt_init(params)
+        Xb = jax.device_put(jnp.asarray(Xb_np), shard_along(mesh, "data", 2))
+        yb = jax.device_put(jnp.asarray(yb_np), shard_along(mesh, "data", 1))
+        out = step(params, qstate, opt_state, Xb, yb, jnp.asarray(0.2, dtype))
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.svgp_steps):
+            params, qstate, opt_state, elbo = step(params, qstate, opt_state,
+                                                   Xb, yb,
+                                                   jnp.asarray(0.2, dtype))
+        jax.block_until_ready(elbo)
+        dt = time.perf_counter() - t0
+        rows = args.svgp_steps * B / dt
+        base.setdefault("svgp", rows)
+        print(json.dumps({
+            "workload": "svgp_rows", "devices": d, "batch": B,
+            "rows_per_s": round(rows, 0),
+            "efficiency": round(rows / (base["svgp"] * d), 3),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -3,12 +3,14 @@
 
 from .regression import GaussianProcessRegressor, SparseGaussianProcessRegressor
 from .bayesian import BayesianGaussianProcessRegressor
+from .heteroscedastic import GaussianProcessHeteroscedasticRegressor
 from .svgp import SVGPRegressor
 
 __all__ = [
     "GaussianProcessRegressor",
     "SparseGaussianProcessRegressor",
     "BayesianGaussianProcessRegressor",
+    "GaussianProcessHeteroscedasticRegressor",
     "SVGPRegressor",
 ]
 
