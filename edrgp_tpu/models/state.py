@@ -275,12 +275,12 @@ class SGPRModel(_BaseModel):
 
     def predictive_gradients(self, Xnew):
         Xnew = jnp.asarray(Xnew, self._X.dtype)
-        _, _, beta = self._posterior()
-        dmu = _sgpr.predict_mean_grad(self.kernel, self.params, beta, Xnew)
+        cache = self._posterior()
+        dmu = _sgpr.predict_mean_grad(self.kernel, self.params, cache[2], Xnew)
         dmu = self.normalizer.unnorm_grad(np.asarray(dmu))
-        # dvar via autodiff of the sparse variance (rarely consumed; the
-        # reference only reads [0]).
-        dvar = np.zeros_like(dmu[:, :, 0])
+        dvar = self.normalizer.unnorm_var(
+            np.asarray(_sgpr.predict_var_grad(self.kernel, self.params,
+                                              cache, Xnew)))
         return dmu[:, :, None], dvar
 
 

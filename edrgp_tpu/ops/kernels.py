@@ -46,6 +46,7 @@ __all__ = [
     "Poly",
     "MLP",
     "Sum",
+    "Product",
     "make_kernel",
     "KERNEL_REGISTRY",
     "register_kernel",
@@ -128,6 +129,12 @@ class Kernel:
         for k in (self, other):
             parts.extend(k.kernels if isinstance(k, Sum) else [k])
         return Sum(parts)
+
+    def __mul__(self, other: "Kernel") -> "Product":
+        parts = []
+        for k in (self, other):
+            parts.extend(k.kernels if isinstance(k, Product) else [k])
+        return Product(parts)
 
 
 class _Stationary(Kernel):
@@ -449,6 +456,34 @@ class Sum(Kernel):
 
     def Kdiag(self, params, X):
         return sum(k.Kdiag(p, X) for k, p in zip(self.kernels, params))
+
+
+class Product(Kernel):
+    """Product of kernels (GPy's ``*`` composition); params is a tuple of
+    the children's param dicts."""
+
+    def __init__(self, kernels: Sequence[Kernel]):
+        kernels = list(kernels)
+        super().__init__(kernels[0].input_dim, None, "Product")
+        self.kernels: Tuple[Kernel, ...] = tuple(kernels)
+
+    def _key(self):
+        return ("Product",) + tuple(k._key() for k in self.kernels)
+
+    def init_params(self, dtype=jnp.float64):
+        return tuple(k.init_params(dtype) for k in self.kernels)
+
+    def K(self, params, X1, X2):
+        out = self.kernels[0].K(params[0], X1, X2)
+        for k, p in zip(self.kernels[1:], params[1:]):
+            out = out * k.K(p, X1, X2)
+        return out
+
+    def Kdiag(self, params, X):
+        out = self.kernels[0].Kdiag(params[0], X)
+        for k, p in zip(self.kernels[1:], params[1:]):
+            out = out * k.Kdiag(p, X)
+        return out
 
 
 KERNEL_REGISTRY = {

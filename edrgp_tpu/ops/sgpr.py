@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from .kernels import Kernel, positive
 from .linalg import safe_cholesky, tri_solve
 
-__all__ = ["elbo", "sgpr_posterior", "predict", "predict_mean_grad"]
+__all__ = ["elbo", "sgpr_posterior", "predict", "predict_mean_grad",
+           "predict_var_grad"]
 
 _LOG2PI = math.log(2.0 * math.pi)
 
@@ -89,6 +90,24 @@ def predict(kernel: Kernel, params, cache, Xnew, _unused=None,
     if include_likelihood:
         var = var + positive(params["raw_noise"])
     return mean, var
+
+
+@partial(jax.jit, static_argnums=0)
+def predict_var_grad(kernel: Kernel, params, cache, Xnew):
+    """d var/dx* for the sparse posterior: [S, Q] (GPy sparse
+    ``predictive_gradients(X)[1]`` parity)."""
+    L, LB, _ = cache
+    kp = params["kernel"]
+    Z = params["Z"]
+
+    def var_one(x):
+        kus = kernel.K(kp, Z, x[None, :])
+        t1 = tri_solve(L, kus, lower=True)
+        t2 = tri_solve(LB, t1, lower=True)
+        kss = kernel.Kdiag(kp, x[None, :])[0]
+        return kss - jnp.sum(t1 * t1) + jnp.sum(t2 * t2)
+
+    return jax.vmap(jax.grad(var_one))(Xnew)
 
 
 @partial(jax.jit, static_argnums=0)

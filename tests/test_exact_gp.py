@@ -159,3 +159,23 @@ def test_optimize_restarts():
     # restarts can only do at least as well (same or better NLML)
     assert (gp.estimator_.log_likelihood()
             >= base.estimator_.log_likelihood() - 1e-3)
+
+
+def test_sparse_predictive_variance_gradient():
+    """Sparse dvar/dx* (predictive_gradients[1]) matches finite differences."""
+    X, y = _toy(n=60)
+    sgp = SparseGaussianProcessRegressor(num_inducing=15)
+    sgp.fit(X, y)
+    _, dvar = sgp.estimator_.predictive_gradients(X[:10])
+    eps = 1e-5
+    # predict variance WITHOUT likelihood noise (the latent var the
+    # gradient refers to)
+    def latent_var(Xq):
+        import jax.numpy as jnp
+        from edrgp_tpu.ops import sgpr as _sgpr
+        m = sgp.estimator_
+        _, v = _sgpr.predict(m.kernel, m.params, m._posterior(),
+                             jnp.asarray(Xq), None, False)
+        return m.normalizer.unnorm_var(np.asarray(v))
+    fd = (latent_var(X[:10] + eps) - latent_var(X[:10] - eps)) / (2 * eps)
+    np.testing.assert_allclose(dvar[:, 0], fd, rtol=1e-3, atol=1e-8)

@@ -122,3 +122,31 @@ def test_active_dims():
     sub1, sub2 = np.asarray(X1)[:, [0, 2]], np.asarray(X2)[:, [0, 2]]
     d2 = ((sub1[:, None, :] - sub2[None, :, :]) ** 2).sum(-1)
     np.testing.assert_allclose(Kmat, np.exp(-0.5 * d2), rtol=1e-9)
+
+
+def test_product_composition():
+    a = K.RBF(3)
+    b = K.Linear(3)
+    prod = a * b
+    assert isinstance(prod, K.Product) and len(prod.kernels) == 2
+    params = prod.init_params()
+    Kp = np.asarray(prod.K(params, X1, X2))
+    Ka = np.asarray(a.K(params[0], X1, X2))
+    Kb = np.asarray(b.K(params[1], X1, X2))
+    np.testing.assert_allclose(Kp, Ka * Kb, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(prod.Kdiag(params, X1)),
+                               np.asarray(a.Kdiag(params[0], X1))
+                               * np.asarray(b.Kdiag(params[1], X1)),
+                               rtol=1e-7)
+
+
+def test_product_kernel_in_gp():
+    """A product kernel fits end-to-end through the estimator layer."""
+    from edrgp_tpu.models import GaussianProcessRegressor
+    rng = np.random.default_rng(0)
+    Xd = rng.normal(size=(60, 2))
+    yd = np.sin(Xd[:, 0]) * Xd[:, 1] + 0.05 * rng.normal(size=60)
+    gp = GaussianProcessRegressor(kernels=K.RBF(2) * K.Linear(2))
+    gp.fit(Xd, yd)
+    pred = gp.predict(Xd)
+    assert np.sqrt(np.mean((pred - np.sin(Xd[:, 0]) * Xd[:, 1]) ** 2)) < 0.2
