@@ -89,6 +89,23 @@ class SVGPModel(_BaseModel):
         self._seed = seed
         self.elbo_trace_ = None
 
+    @classmethod
+    def from_dataset(cls, dataset, kernel: Kernel, num_inducing: int = 128,
+                     subsample: int = 4096, normalizer: bool = True,
+                     noise_var: float = 1.0, dtype=None, seed: int = 0):
+        """Construct from an on-disk :class:`edrgp_tpu.data.MMapDataset`
+        without loading it: a random subsample provides the y-normalizer
+        statistics and the inducing-point init; training then runs through
+        :meth:`optimize_stream`."""
+        rng = np.random.default_rng(seed)
+        idx = np.sort(rng.choice(dataset.n_rows,
+                                 size=min(subsample, dataset.n_rows),
+                                 replace=False))
+        Xs, ys = dataset.read_rows(idx)
+        return cls(Xs, ys, kernel, num_inducing=num_inducing,
+                   normalizer=normalizer, noise_var=noise_var, dtype=dtype,
+                   seed=seed)
+
     # --- fitting (optimize/optimize_restarts surface) ----------------------
     def optimize(self, messages: bool = False, max_iters: int = 1000,
                  batch_size: int = 256, lr: float = 3e-3, **_ignored):
@@ -108,6 +125,58 @@ class SVGPModel(_BaseModel):
     def optimize_restarts(self, num_restarts: int = 1, **kw):
         # SVI is stochastic already; restarts degrade to a single run.
         return self.optimize(**kw)
+
+    def optimize_stream(self, batches, n_total: int, steps: int = 1000,
+                        lr: float = 3e-3, messages: bool = False,
+                        log_every: int = 0, metrics_logger=None):
+        """Train from a host-side minibatch iterator (the N ≫ memory path).
+
+        ``batches`` yields (X_b [B,Q], y_b [B]) — typically
+        ``edrgp_tpu.data.MMapDataset.batches(...)`` backed by the native
+        C++ loader, so batch gather overlaps device compute.  One jitted
+        step per batch: Adam on hyperparameters + a natural-gradient update
+        of q(u) with a 1/(1+0.05·t) step-size schedule.
+        """
+        import optax as _optax
+        opt = _optax.adam(lr)
+        opt_state = opt.init(self.params)
+        kernel = self.kernel
+        n_total_f = float(n_total)
+
+        @partial(jax.jit, static_argnames=())
+        def one_step(params, qstate, opt_state, Xb, yb, rho):
+            m, S = _svgp.q_from_natural(qstate)
+
+            def loss_fn(p):
+                return -_svgp.svgp_elbo(kernel, p, m, S, Xb, yb, n_total_f)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = _optax.apply_updates(params, updates)
+            qstate = _svgp.natural_gradient_update(kernel, params, qstate,
+                                                   Xb, yb, n_total_f, rho)
+            return params, qstate, opt_state, -loss
+
+        params, qstate = self.params, self.qstate
+        mu_y, std_y = self.normalizer.mean, self.normalizer.std
+        elbo = float("nan")
+        for t in range(steps):
+            Xb, yb = next(batches)
+            yb = (np.asarray(yb) - mu_y) / std_y
+            rho = 0.5 / (1.0 + 0.05 * t)
+            params, qstate, opt_state, elbo = one_step(
+                params, qstate, opt_state,
+                jnp.asarray(Xb, self._X.dtype), jnp.asarray(yb, self._X.dtype),
+                jnp.asarray(rho, self._X.dtype))
+            if log_every and t % log_every == 0:
+                if metrics_logger is not None:
+                    metrics_logger.log(t, elbo=float(elbo))
+                if messages:
+                    print(f"step {t}: minibatch ELBO {float(elbo):.2f}")
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.qstate = qstate
+        self._objective = float(-elbo)
+        return self
 
     # --- posterior ---------------------------------------------------------
     def _mS(self):

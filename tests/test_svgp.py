@@ -98,3 +98,22 @@ def test_svgp_in_edr():
     c = c / np.linalg.norm(c)
     true = np.array([1.0, 1.0, 0.0]) / np.sqrt(2)
     assert abs(abs(c @ true) - 1) < 0.05
+
+
+def test_streaming_fit_from_disk(tmp_path):
+    """from_dataset + optimize_stream: the N >> memory path end-to-end."""
+    from edrgp_tpu.data import MMapDataset, write_dataset
+    from edrgp_tpu.models.svgp import SVGPModel
+    rng = np.random.default_rng(0)
+    N = 20000
+    X = rng.uniform(-3, 3, size=(N, 2)).astype(np.float32)
+    y = (np.sin(X[:, 0]) + 0.1 * rng.normal(size=N)).astype(np.float32)
+    path = str(tmp_path / "d.edrg")
+    write_dataset(path, X, y)
+    ds = MMapDataset(path)
+    model = SVGPModel.from_dataset(ds, RBF(2), num_inducing=32)
+    model.optimize_stream(ds.batches(batch_size=512, seed=1),
+                          n_total=N, steps=200, lr=5e-3)
+    pred, _ = model.predict(X[:500])
+    assert np.sqrt(np.mean((pred[:, 0] - np.sin(X[:500, 0])) ** 2)) < 0.12
+    ds.close()
