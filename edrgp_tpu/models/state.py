@@ -214,6 +214,23 @@ class ExactGPModel(_BaseModel):
         dvar = self.normalizer.unnorm_var(np.asarray(dvar))
         return dmu[:, :, None], dvar
 
+    def predict_full_cov(self, Xnew):
+        """Posterior mean [M] and full covariance [M, M] (latent)."""
+        Xnew = jnp.asarray(Xnew, self._X.dtype)
+        mean, cov = _exact.predict_full_cov(self.kernel, self.params,
+                                            self._X, self._posterior(), Xnew)
+        return (self.normalizer.unnorm_mean(np.asarray(mean)),
+                self.normalizer.unnorm_var(np.asarray(cov)))
+
+    def posterior_samples_f(self, Xnew, size: int = 10, seed: int = 0):
+        """Joint samples of the latent function at Xnew: [size, M]
+        (GPy ``posterior_samples_f`` surface)."""
+        Xnew = jnp.asarray(Xnew, self._X.dtype)
+        samples = _exact.posterior_samples_f(
+            self.kernel, self.params, self._X, self._posterior(), Xnew,
+            size, jax.random.PRNGKey(seed))
+        return self.normalizer.unnorm_mean(np.asarray(samples))
+
 
 class SGPRModel(_BaseModel):
     """Titsias sparse GP regression: ``GPy.models.SparseGPRegression``

@@ -26,7 +26,8 @@ from .kernels import Kernel, positive
 from .linalg import cho_solve, logdet_from_chol, safe_cholesky, tri_solve
 
 __all__ = [
-    "nlml", "posterior", "predict", "predict_mean_grad", "noise_variance",
+    "nlml", "posterior", "predict", "predict_mean_grad", "predict_var_grad",
+    "predict_full_cov", "posterior_samples_f", "noise_variance",
 ]
 
 _LOG2PI = math.log(2.0 * math.pi)
@@ -82,6 +83,30 @@ def predict(kernel: Kernel, params, X, cache, Xnew, include_likelihood: bool = T
     if include_likelihood:
         var = var + noise_variance(params)
     return mean, var
+
+
+@partial(jax.jit, static_argnums=0)
+def predict_full_cov(kernel: Kernel, params, X, cache, Xnew):
+    """Posterior mean and FULL covariance at Xnew (latent, no noise)."""
+    L, alpha = cache
+    Ks = kernel.K(params["kernel"], X, Xnew)
+    mean = Ks.T @ alpha
+    v = tri_solve(L, Ks, lower=True)
+    Kss = kernel.K(params["kernel"], Xnew, Xnew)
+    cov = Kss - v.T @ v
+    return mean, cov
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def posterior_samples_f(kernel: Kernel, params, X, cache, Xnew,
+                        size: int = 10, key=None):
+    """Draw ``size`` joint samples of the latent function at Xnew: [size, M]."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    mean, cov = predict_full_cov(kernel, params, X, cache, Xnew)
+    Lc = safe_cholesky(cov)
+    eps = jax.random.normal(key, (size, Xnew.shape[0]), mean.dtype)
+    return mean[None, :] + eps @ Lc.T
 
 
 @partial(jax.jit, static_argnums=0)

@@ -339,12 +339,10 @@ class White(Kernel):
 
     def K(self, params, X1, X2):
         v = positive(params["variance"])
-        if X1 is X2 or (X1.shape == X2.shape):
-            # Same-set evaluation: σ² on the diagonal.  Cross-covariance of
-            # white noise between distinct points is zero; for K(X, X) the
-            # identity is the correct (and GPy-matching) behaviour.
-            n = X1.shape[0]
-            return v * jnp.eye(n, X2.shape[0], dtype=X1.dtype)
+        if X1 is X2:
+            # Same-set evaluation (identity only — a same-SHAPE test set is
+            # still a different set): σ² on the diagonal, matching GPy.
+            return v * jnp.eye(X1.shape[0], dtype=X1.dtype)
         return jnp.zeros((X1.shape[0], X2.shape[0]), X1.dtype)
 
     def Kdiag(self, params, X):

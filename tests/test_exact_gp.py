@@ -179,3 +179,20 @@ def test_sparse_predictive_variance_gradient():
         return m.normalizer.unnorm_var(np.asarray(v))
     fd = (latent_var(X[:10] + eps) - latent_var(X[:10] - eps)) / (2 * eps)
     np.testing.assert_allclose(dvar[:, 0], fd, rtol=1e-3, atol=1e-8)
+
+
+def test_posterior_samples_f():
+    """Joint latent samples: correct shape, consistent with the posterior
+    mean/cov (GPy posterior_samples_f surface)."""
+    X, y = _toy(n=40)
+    gp = GaussianProcessRegressor()
+    gp.fit(X, y)
+    S = gp.estimator_.posterior_samples_f(X, size=600, seed=1)
+    assert S.shape == (600, 40)
+    mean, cov = gp.estimator_.predict_full_cov(X)
+    np.testing.assert_allclose(S.mean(0), mean, atol=4 * np.sqrt(
+        np.diag(cov) / 600).max() + 1e-3)
+    # sample covariance should correlate strongly with the analytic one
+    Cs = np.cov(S.T)
+    corr = np.corrcoef(Cs.ravel(), cov.ravel())[0, 1]
+    assert corr > 0.9

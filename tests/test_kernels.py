@@ -150,3 +150,12 @@ def test_product_kernel_in_gp():
     gp.fit(Xd, yd)
     pred = gp.predict(Xd)
     assert np.sqrt(np.mean((pred - np.sin(Xd[:, 0]) * Xd[:, 1]) ** 2)) < 0.2
+
+
+def test_white_same_shape_different_set_is_zero():
+    """Cross-covariance to a same-SHAPE but different test set must be 0
+    (identity check, not shape heuristic)."""
+    kern, params = _make("White")
+    Xother = jnp.asarray(RNG.normal(size=(7, 3)))  # same shape as X1
+    cross = np.asarray(kern.K(params, X1, Xother))
+    assert np.all(cross == 0)
