@@ -143,8 +143,12 @@ class MMapDataset:
                 self._handle, batch_size, int(with_replacement), seed,
                 n_buffers)
             if rc == -1:
-                raise RuntimeError("a stream is already running on this "
-                                   "dataset handle")
+                # one stream per native handle — open a fresh mapping of
+                # the same file for additional concurrent streams
+                fresh = MMapDataset(self.path)
+                yield from fresh.batches(batch_size, seed,
+                                         with_replacement, n_buffers)
+                return
             if rc != 0:
                 raise RuntimeError(f"edr_start_stream failed: {rc}")
             buf = np.empty((batch_size, self.row_floats), dtype=np.float32)

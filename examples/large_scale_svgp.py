@@ -27,25 +27,30 @@ def main(n=500_000, q=4):
     write_dataset(path, X, y)
     ds = MMapDataset(path)
 
-    # stream a subsample for inducing-point init, then train on the full set
-    model = SVGPRegressor(num_inducing=128, batch_size=2048, lr=5e-3)
+    # fully streaming: subsample initializes the model, the C++ loader
+    # feeds training — the dataset is never loaded into memory
+    from edrgp_tpu.models.svgp import SVGPModel
+    from edrgp_tpu.ops.kernels import RBF
+    model = SVGPModel.from_dataset(ds, RBF(q, ARD=True), num_inducing=128)
     t0 = time.time()
-    model.fit(X, y, max_iters=800)
+    steps, batch = 800, 2048
+    model.optimize_stream(ds.batches(batch_size=batch, seed=1),
+                          n_total=ds.n_rows, steps=steps, lr=5e-3)
     dt = time.time() - t0
-    print(f"fit {n:,} rows in {dt:.1f}s "
-          f"({800 * 2048 / dt:,.0f} rows/s through the ELBO)")
+    print(f"streamed {steps} steps x {batch} rows in {dt:.1f}s "
+          f"({steps * batch / dt:,.0f} rows/s through the ELBO)")
 
-    idx = rng.integers(0, n, 2000)
-    pred = model.predict(X[idx])
-    rmse = float(np.sqrt(np.mean((pred - f[idx]) ** 2)))
+    idx = np.sort(rng.integers(0, n, 2000))
+    Xt, _ = ds.read_rows(idx)
+    pred, _ = model.predict(Xt)
+    rmse = float(np.sqrt(np.mean((pred[:, 0] - f[idx]) ** 2)))
     print(f"rmse vs true function: {rmse:.4f}")
 
-    # demonstrate the streaming interface itself
-    it = ds.batches(batch_size=4096, seed=1)
+    it = ds.batches(batch_size=4096, seed=2)
     t0 = time.time()
     for _ in range(100):
         next(it)
-    print(f"loader throughput: {100 * 4096 / (time.time() - t0) / 1e6:.1f} "
+    print(f"raw loader throughput: {100 * 4096 / (time.time() - t0) / 1e6:.1f} "
           "M rows/s")
     ds.close()
     os.unlink(path)
