@@ -153,6 +153,19 @@ class _BaseModel:
     def noise_variance(self) -> float:
         return float(positive(self.params["raw_noise"]))
 
+    def get_hyperparameters(self) -> dict:
+        """Constrained-space hyperparameters as plain numpy (the ergonomic
+        equivalent of inspecting ``model.kern.*`` on a GPy model)."""
+        def constrain(path, leaf):
+            name = jax.tree_util.keystr(path)
+            if "Z" in name:
+                return np.asarray(leaf)
+            return np.asarray(positive(leaf))
+
+        flat = jax.tree_util.tree_flatten_with_path(self.params)[0]
+        return {jax.tree_util.keystr(p).replace("raw_", ""): constrain(p, l)
+                for p, l in flat}
+
 
 class ExactGPModel(_BaseModel):
     """Exact GP regression: native ``GPy.models.GPRegression`` equivalent."""
