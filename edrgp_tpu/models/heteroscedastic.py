@@ -81,7 +81,8 @@ class HeteroscedasticGPModel(_BaseModel):
     _fit_fn = staticmethod(_fit_het)
 
     def optimize(self, messages=False, max_iters: int = 1000,
-                 tol: float = 1e-6, **_ignored):
+                 tol: float | None = None, **_ignored):
+        tol = self._default_tol() if tol is None else tol
         res = _fit_het(self.kernel, self.params, self._X, self._y,
                        max_iters=int(max_iters), tol=float(tol))
         self.params = jax.tree_util.tree_map(jnp.asarray, res.params)

@@ -105,9 +105,16 @@ class _BaseModel:
     params: dict
     _objective: float
 
+    def _default_tol(self) -> float:
+        """Gradient-norm tolerance matched to the working precision:
+        1e-6 is fine in float64 but unreachable in float32 (the optimizer
+        would burn max_iters on noise)."""
+        return 1e-6 if self._X.dtype == jnp.float64 else 3e-4
+
     # --- fitting ----------------------------------------------------------
     def optimize(self, messages: bool = False, max_iters: int = 1000,
-                 tol: float = 1e-6, **_ignored):
+                 tol: float | None = None, **_ignored):
+        tol = self._default_tol() if tol is None else tol
         res = self._fit_fn(self.kernel, self.params, self._X, self._y,
                            max_iters=int(max_iters), tol=float(tol))
         self.params = jax.tree_util.tree_map(jnp.asarray, res.params)
@@ -120,7 +127,8 @@ class _BaseModel:
 
     def optimize_restarts(self, num_restarts: int = 3, verbose: bool = False,
                           messages: bool = False, max_iters: int = 1000,
-                          tol: float = 1e-6, seed: int = 0, **_ignored):
+                          tol: float | None = None, seed: int = 0, **_ignored):
+        tol = self._default_tol() if tol is None else tol
         if num_restarts <= 1:
             return self.optimize(messages=messages, max_iters=max_iters, tol=tol)
         inits = _perturb_inits(self.params, int(num_restarts), seed=seed)
