@@ -33,30 +33,6 @@ from .state import Normalizer
 __all__ = ["BayesianGPModel", "BayesianGaussianProcessRegressor"]
 
 
-@partial(jax.jit, static_argnames=("kernel", "num_warmup", "num_samples",
-                                   "max_depth", "num_chains",
-                                   "prior_scale"))
-def _run_chains(kernel, flat0, X, y, key, *, num_warmup, num_samples,
-                max_depth, num_chains, prior_scale):
-    _, unravel = ravel_pytree_cache[kernel]
-
-    def logprob(q):
-        p = unravel(q)
-        return (-_exact.nlml(kernel, p, X, y)
-                - 0.5 * jnp.sum(q ** 2) / prior_scale ** 2)
-
-    run = lambda q, k: run_nuts(logprob, q, k, num_warmup=num_warmup,
-                                num_samples=num_samples,
-                                max_depth=max_depth)
-    q0 = jnp.tile(flat0, (num_chains, 1))
-    keys = jax.random.split(key, num_chains)
-    return jax.vmap(run)(q0, keys)
-
-
-# unravel closures must be reachable from the jitted fn; cache per-kernel
-ravel_pytree_cache: dict = {}
-
-
 class BayesianGPModel:
     """GPy-like model surface with a posterior *ensemble* behind it."""
 
@@ -73,7 +49,6 @@ class BayesianGPModel:
         p0 = {"kernel": kernel.init_params(dtype),
               "raw_noise": inv_positive(jnp.asarray(noise_var, dtype))}
         self._flat0, self._unravel = ravel_pytree(p0)
-        ravel_pytree_cache[kernel] = (self._flat0, self._unravel)
         self._cfg = dict(num_chains=num_chains, num_warmup=num_warmup,
                          num_samples=num_samples, max_depth=max_depth,
                          prior_scale=float(prior_scale))
@@ -84,9 +59,22 @@ class BayesianGPModel:
 
     # --- fitting -----------------------------------------------------------
     def optimize(self, messages=False, max_iters=None, **_ignored):
+        kernel, unravel = self.kernel, self._unravel
+        X, y = self._X, self._y
+        prior_scale = self._cfg["prior_scale"]
+
+        def logprob(q):
+            return (-_exact.nlml(kernel, unravel(q), X, y)
+                    - 0.5 * jnp.sum(q ** 2) / prior_scale ** 2)
+
+        run = partial(run_nuts, logprob,
+                      num_warmup=self._cfg["num_warmup"],
+                      num_samples=self._cfg["num_samples"],
+                      max_depth=self._cfg["max_depth"])
         key = jax.random.PRNGKey(self._seed)
-        qs, info = _run_chains(self.kernel, self._flat0, self._X, self._y,
-                               key, **self._cfg)
+        q0 = jnp.tile(self._flat0, (self._cfg["num_chains"], 1))
+        keys = jax.random.split(key, self._cfg["num_chains"])
+        qs, info = jax.vmap(run)(q0, keys)
         chains = np.asarray(qs)                      # [C, S, D]
         self.diagnostics_ = {
             "rhat": potential_scale_reduction(chains),
