@@ -14,6 +14,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 import optax.tree_utils as otu
 from jax import lax
@@ -71,6 +72,109 @@ def minimize(fun: Callable, init_params, *, max_iters: int = 1000,
         grad_norm=otu.tree_norm(grad),
         num_iters=otu.tree_get(state, "count"),
     )
+
+
+# --------------------------------------------------------------------------
+# Segmented execution: bounded device programs + host continuation loop.
+#
+# Some TPU runtimes (including this machine's tunneled worker) kill single
+# XLA executions that run for minutes; a 1000-iteration L-BFGS while_loop at
+# N=10k is exactly that.  The segmented driver runs the same while_loop with
+# an additional per-segment iteration cap and loops on the host until the
+# global convergence condition fires.  Objectives register by name so the
+# jitted segment is cached per (objective, kernel, shapes) — closures over
+# data would silently bake the dataset into the program.
+# --------------------------------------------------------------------------
+
+_OBJECTIVES: dict = {}
+
+
+def register_objective(name: str, factory: Callable) -> None:
+    """factory(kernel) -> fun(params, *data) (scalar loss to minimize)."""
+    _OBJECTIVES[name] = factory
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _segment_runners(objective: str, kernel, max_iters: int, tol: float,
+                     memory_size: int, segment_iters: int, n_data: int):
+    opt = optax.lbfgs(memory_size=memory_size)
+    raw = _OBJECTIVES[objective](kernel)
+
+    def seg(params, state, *data):
+        fun = _guard(lambda p: raw(p, *data))
+        value_and_grad = optax.value_and_grad_from_state(fun)
+
+        def cond(c):
+            _, state, k = c
+            count = otu.tree_get(state, "count")
+            err = otu.tree_norm(otu.tree_get(state, "grad"))
+            live = (count == 0) | ((count < max_iters) & (err >= tol))
+            return live & (k < segment_iters)
+
+        def step(c):
+            params, state, k = c
+            value, grad = value_and_grad(params, state=state)
+            updates, state = opt.update(grad, state, params, value=value,
+                                        grad=grad, value_fn=fun)
+            params = optax.apply_updates(params, updates)
+            return params, state, k + 1
+
+        params, state, _ = lax.while_loop(
+            cond, step, (params, state, jnp.int32(0)))
+        count = otu.tree_get(state, "count")
+        err = otu.tree_norm(otu.tree_get(state, "grad"))
+        return params, state, count, err, fun(params)
+
+    single = jax.jit(seg)
+    batched = jax.jit(jax.vmap(seg, in_axes=(0, 0) + (None,) * n_data))
+    return opt, single, batched
+
+
+def minimize_segmented(objective: str, kernel, init_params, data: tuple, *,
+                       max_iters: int = 1000, tol: float = 1e-6,
+                       memory_size: int = 30,
+                       segment_iters: int = 10) -> LBFGSResult:
+    """Segmented L-BFGS on a registered objective (single start)."""
+    opt, single, _ = _segment_runners(objective, kernel, int(max_iters),
+                                      float(tol), int(memory_size),
+                                      int(segment_iters), len(data))
+    params, state = init_params, opt.init(init_params)
+    while True:
+        params, state, count, err, value = single(params, state, *data)
+        c, e = int(count), float(err)
+        if c >= max_iters or (c > 0 and e < tol) or not jnp.isfinite(e):
+            break
+    return LBFGSResult(params=params, value=value, grad_norm=err,
+                       num_iters=count)
+
+
+def minimize_restarts_segmented(objective: str, kernel, init_batch,
+                                data: tuple, *, max_iters: int = 1000,
+                                tol: float = 1e-6, memory_size: int = 30,
+                                segment_iters: int = 10) -> LBFGSResult:
+    """Segmented vmapped multi-start; best run wins."""
+    opt, _, batched = _segment_runners(objective, kernel, int(max_iters),
+                                       float(tol), int(memory_size),
+                                       int(segment_iters), len(data))
+    params = init_batch
+    state = jax.vmap(opt.init)(init_batch)
+    while True:
+        params, state, count, err, value = batched(params, state, *data)
+        counts = np.asarray(count)
+        errs = np.asarray(err)
+        done = (counts >= max_iters) | ((counts > 0) & (errs < tol)) \
+            | ~np.isfinite(errs)
+        if done.all():
+            break
+    values = jnp.where(jnp.isfinite(value), value,
+                       jnp.asarray(jnp.inf, value.dtype))
+    best = int(jnp.argmin(values))
+    take = lambda t: jax.tree_util.tree_map(lambda x: x[best], t)
+    return LBFGSResult(params=take(params), value=value[best],
+                       grad_norm=err[best], num_iters=count[best])
 
 
 def minimize_restarts(fun: Callable, init_batch, *, max_iters: int = 1000,

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import default_dtype
-from ..inference.lbfgs import minimize, minimize_restarts
+from ..inference.lbfgs import register_objective
 from ..ops import vgp as _vgp
 from ..ops.kernels import Kernel
 from . import state as _state
@@ -28,31 +28,10 @@ from .state import _BaseModel, _perturb_inits
 
 __all__ = ["VGPClassificationModel", "SparseVGPClassificationModel"]
 
-
-@partial(jax.jit, static_argnames=("kernel", "max_iters", "tol"))
-def _fit_vgp(kernel: Kernel, init, X, y, *, max_iters: int, tol: float):
-    obj = lambda p: -_vgp.vgp_elbo(kernel, p, X, y)
-    return minimize(obj, init, max_iters=max_iters, tol=tol)
-
-
-@partial(jax.jit, static_argnames=("kernel", "max_iters", "tol"))
-def _fit_vgp_restarts(kernel: Kernel, init_batch, X, y, *, max_iters: int,
-                      tol: float):
-    obj = lambda p: -_vgp.vgp_elbo(kernel, p, X, y)
-    return minimize_restarts(obj, init_batch, max_iters=max_iters, tol=tol)
-
-
-@partial(jax.jit, static_argnames=("kernel", "max_iters", "tol"))
-def _fit_svgp_cls(kernel: Kernel, init, X, y, *, max_iters: int, tol: float):
-    obj = lambda p: -_vgp.svgp_cls_elbo(kernel, p, X, y)
-    return minimize(obj, init, max_iters=max_iters, tol=tol)
-
-
-@partial(jax.jit, static_argnames=("kernel", "max_iters", "tol"))
-def _fit_svgp_cls_restarts(kernel: Kernel, init_batch, X, y, *,
-                           max_iters: int, tol: float):
-    obj = lambda p: -_vgp.svgp_cls_elbo(kernel, p, X, y)
-    return minimize_restarts(obj, init_batch, max_iters=max_iters, tol=tol)
+register_objective("neg_vgp_elbo",
+                   lambda kernel: lambda p, X, y: -_vgp.vgp_elbo(kernel, p, X, y))
+register_objective("neg_svgp_cls_elbo",
+                   lambda kernel: lambda p, X, y: -_vgp.svgp_cls_elbo(kernel, p, X, y))
 
 
 class _BaseClsModel(_BaseModel):
@@ -86,8 +65,7 @@ class _BaseClsModel(_BaseModel):
 class VGPClassificationModel(_BaseClsModel):
     """Full (non-sparse) variational GP binary classifier."""
 
-    _fit_fn = staticmethod(_fit_vgp)
-    _fit_restarts_fn = staticmethod(_fit_vgp_restarts)
+    _objective_name = "neg_vgp_elbo"
     _elbo_fn = staticmethod(_vgp.vgp_elbo)
 
     def __init__(self, X: np.ndarray, y: np.ndarray, kernel: Kernel,
@@ -121,8 +99,7 @@ class SparseVGPClassificationModel(_BaseClsModel):
     """Sparse (inducing-point) variational GP binary classifier
     (EP-DTC capability equivalent)."""
 
-    _fit_fn = staticmethod(_fit_svgp_cls)
-    _fit_restarts_fn = staticmethod(_fit_svgp_cls_restarts)
+    _objective_name = "neg_svgp_cls_elbo"
     _elbo_fn = staticmethod(_vgp.svgp_cls_elbo)
 
     def __init__(self, X: np.ndarray, y: np.ndarray, kernel: Kernel,

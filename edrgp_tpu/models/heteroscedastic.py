@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import default_dtype
-from ..inference.lbfgs import minimize
+from ..inference.lbfgs import minimize_segmented, register_objective
 from ..ops import exact as _exact
 from ..ops.kernels import Kernel, RBF, inv_positive, positive
 from ..ops.linalg import cho_solve, logdet_and_quad, safe_cholesky, tri_solve
@@ -41,10 +41,8 @@ def _het_nlml(kernel: Kernel, params, X, y):
     return 0.5 * (X.shape[0] * _LOG2PI + logdet + quad)
 
 
-@partial(jax.jit, static_argnames=("kernel", "max_iters", "tol"))
-def _fit_het(kernel: Kernel, init, X, y, *, max_iters: int, tol: float):
-    obj = lambda p: _het_nlml(kernel, p, X, y)
-    return minimize(obj, init, max_iters=max_iters, tol=tol)
+register_objective("het_nlml",
+                   lambda kernel: lambda p, X, y: _het_nlml(kernel, p, X, y))
 
 
 @partial(jax.jit, static_argnums=0)
@@ -78,21 +76,10 @@ class HeteroscedasticGPModel(_BaseModel):
         self._objective = float("nan")
         self._cache = None
 
-    _fit_fn = staticmethod(_fit_het)
-
-    def optimize(self, messages=False, max_iters: int = 1000,
-                 tol: float | None = None, **_ignored):
-        tol = self._default_tol() if tol is None else tol
-        res = _fit_het(self.kernel, self.params, self._X, self._y,
-                       max_iters=int(max_iters), tol=float(tol))
-        self.params = jax.tree_util.tree_map(jnp.asarray, res.params)
-        self._objective = float(res.value)
-        self._cache = None
-        if messages:
-            print(f"HeteroscedasticGP: objective={self._objective:.4f}")
-        return self
+    _objective_name = "het_nlml"
 
     def optimize_restarts(self, num_restarts: int = 1, **kw):
+        # per-point noise makes restart perturbation of N params unhelpful
         return self.optimize(**kw)
 
     def _posterior(self):

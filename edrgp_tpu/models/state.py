@@ -20,13 +20,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import default_dtype
-from ..inference.lbfgs import minimize, minimize_restarts
+from ..config import default_dtype, on_tpu
+from ..inference.lbfgs import (minimize, minimize_restarts,
+                               minimize_restarts_segmented,
+                               minimize_segmented, register_objective)
 from ..ops import exact as _exact
 from ..ops import sgpr as _sgpr
 from ..ops.kernels import Kernel, inv_positive, positive
 
 __all__ = ["Normalizer", "ExactGPModel", "SGPRModel", "load_model"]
+
+# Objectives for the segmented ML-II driver (cached per kernel+shapes).
+register_objective("exact_nlml",
+                   lambda kernel: lambda p, X, y: _exact.nlml(kernel, p, X, y))
+register_objective("neg_sgpr_elbo",
+                   lambda kernel: lambda p, X, y: -_sgpr.elbo(kernel, p, X, y))
+
+
+def _segment_budget(max_iters: int) -> int:
+    """Per-device-program iteration cap: small on TPU (the tunneled worker
+    kills executions running longer than ~1 min), whole-run elsewhere."""
+    return 10 if on_tpu() else int(max_iters)
 
 
 class Normalizer:
@@ -54,32 +68,6 @@ class Normalizer:
 
     def unnorm_grad(self, g):
         return g * self.std
-
-
-@partial(jax.jit, static_argnames=("kernel", "max_iters", "tol"))
-def _fit_exact(kernel: Kernel, init, X, y, *, max_iters: int, tol: float):
-    obj = lambda p: _exact.nlml(kernel, p, X, y)
-    return minimize(obj, init, max_iters=max_iters, tol=tol)
-
-
-@partial(jax.jit, static_argnames=("kernel", "max_iters", "tol"))
-def _fit_exact_restarts(kernel: Kernel, init_batch, X, y, *, max_iters: int,
-                        tol: float):
-    obj = lambda p: _exact.nlml(kernel, p, X, y)
-    return minimize_restarts(obj, init_batch, max_iters=max_iters, tol=tol)
-
-
-@partial(jax.jit, static_argnames=("kernel", "max_iters", "tol"))
-def _fit_sgpr(kernel: Kernel, init, X, y, *, max_iters: int, tol: float):
-    obj = lambda p: -_sgpr.elbo(kernel, p, X, y)
-    return minimize(obj, init, max_iters=max_iters, tol=tol)
-
-
-@partial(jax.jit, static_argnames=("kernel", "max_iters", "tol"))
-def _fit_sgpr_restarts(kernel: Kernel, init_batch, X, y, *, max_iters: int,
-                       tol: float):
-    obj = lambda p: -_sgpr.elbo(kernel, p, X, y)
-    return minimize_restarts(obj, init_batch, max_iters=max_iters, tol=tol)
 
 
 def _perturb_inits(params, num: int, seed: int = 0, scale: float = 1.0):
@@ -115,8 +103,10 @@ class _BaseModel:
     def optimize(self, messages: bool = False, max_iters: int = 1000,
                  tol: float | None = None, **_ignored):
         tol = self._default_tol() if tol is None else tol
-        res = self._fit_fn(self.kernel, self.params, self._X, self._y,
-                           max_iters=int(max_iters), tol=float(tol))
+        res = minimize_segmented(
+            self._objective_name, self.kernel, self.params,
+            (self._X, self._y), max_iters=int(max_iters), tol=float(tol),
+            segment_iters=_segment_budget(max_iters))
         self.params = jax.tree_util.tree_map(jnp.asarray, res.params)
         self._objective = float(res.value)
         self._cache = None
@@ -132,8 +122,10 @@ class _BaseModel:
         if num_restarts <= 1:
             return self.optimize(messages=messages, max_iters=max_iters, tol=tol)
         inits = _perturb_inits(self.params, int(num_restarts), seed=seed)
-        res = self._fit_restarts_fn(self.kernel, inits, self._X, self._y,
-                                    max_iters=int(max_iters), tol=float(tol))
+        res = minimize_restarts_segmented(
+            self._objective_name, self.kernel, inits, (self._X, self._y),
+            max_iters=int(max_iters), tol=float(tol),
+            segment_iters=_segment_budget(max_iters))
         self.params = jax.tree_util.tree_map(jnp.asarray, res.params)
         self._objective = float(res.value)
         self._cache = None
@@ -178,8 +170,7 @@ class _BaseModel:
 class ExactGPModel(_BaseModel):
     """Exact GP regression: native ``GPy.models.GPRegression`` equivalent."""
 
-    _fit_fn = staticmethod(_fit_exact)
-    _fit_restarts_fn = staticmethod(_fit_exact_restarts)
+    _objective_name = "exact_nlml"
 
     def __init__(self, X: np.ndarray, y: np.ndarray, kernel: Kernel,
                  normalizer: bool = True, noise_var: float = 1.0,
@@ -257,8 +248,7 @@ class SGPRModel(_BaseModel):
     """Titsias sparse GP regression: ``GPy.models.SparseGPRegression``
     equivalent (inducing inputs optimized jointly)."""
 
-    _fit_fn = staticmethod(_fit_sgpr)
-    _fit_restarts_fn = staticmethod(_fit_sgpr_restarts)
+    _objective_name = "neg_sgpr_elbo"
 
     def __init__(self, X: np.ndarray, y: np.ndarray, kernel: Kernel,
                  Z: Optional[np.ndarray] = None, num_inducing: int = 10,

@@ -30,12 +30,12 @@ __all__ = ["SVGPModel", "SVGPRegressor"]
 
 
 @partial(jax.jit, static_argnames=("kernel", "steps", "batch_size", "lr"))
-def _fit_svgp_scan(kernel: Kernel, params, qstate, X, y, key, *,
-                   steps: int, batch_size: int, lr: float):
-    """Jitted SVI loop; returns (params, qstate, elbo_trace)."""
+def _fit_svgp_scan(kernel: Kernel, params, qstate, opt_state, X, y, key,
+                   step0, *, steps: int, batch_size: int, lr: float):
+    """Jitted SVI segment of ``steps`` iterations (host loop chains
+    segments so no single device program outlives runtime watchdogs)."""
     n_total = X.shape[0]
     opt = optax.adam(lr)
-    opt_state = opt.init(params)
 
     def hyper_loss(p, m, S, Xb, yb):
         return -_svgp.svgp_elbo(kernel, p, m, S, Xb, yb, n_total)
@@ -55,10 +55,10 @@ def _fit_svgp_scan(kernel: Kernel, params, qstate, X, y, key, *,
                                                Xb, yb, n_total, rho)
         return (params, qstate, opt_state, key), -loss
 
-    (params, qstate, _, _), elbos = jax.lax.scan(
+    (params, qstate, opt_state, key), elbos = jax.lax.scan(
         step_fn, (params, qstate, opt_state, key),
-        jnp.arange(steps))
-    return params, qstate, elbos
+        step0 + jnp.arange(steps))
+    return params, qstate, opt_state, key, elbos
 
 
 class SVGPModel(_BaseModel):
@@ -109,17 +109,28 @@ class SVGPModel(_BaseModel):
     # --- fitting (optimize/optimize_restarts surface) ----------------------
     def optimize(self, messages: bool = False, max_iters: int = 1000,
                  batch_size: int = 256, lr: float = 3e-3, **_ignored):
+        from ..config import on_tpu
         batch_size = min(batch_size, self._X.shape[0])
         key = jax.random.PRNGKey(self._seed)
-        params, qstate, elbos = _fit_svgp_scan(
-            self.kernel, self.params, self.qstate, self._X, self._y, key,
-            steps=int(max_iters), batch_size=int(batch_size), lr=float(lr))
+        seg = 200 if on_tpu() else int(max_iters)
+        params, qstate = self.params, self.qstate
+        opt_state = optax.adam(float(lr)).init(params)
+        traces = []
+        done = 0
+        while done < int(max_iters):
+            n_seg = min(seg, int(max_iters) - done)
+            params, qstate, opt_state, key, elbos = _fit_svgp_scan(
+                self.kernel, params, qstate, opt_state, self._X, self._y,
+                key, jnp.asarray(done), steps=n_seg,
+                batch_size=int(batch_size), lr=float(lr))
+            traces.append(np.asarray(elbos))
+            done += n_seg
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.qstate = qstate
-        self.elbo_trace_ = np.asarray(elbos)
-        self._objective = float(-elbos[-1])
+        self.elbo_trace_ = np.concatenate(traces)
+        self._objective = float(-self.elbo_trace_[-1])
         if messages:
-            print(f"SVGP: final minibatch ELBO={float(elbos[-1]):.4f}")
+            print(f"SVGP: final minibatch ELBO={self.elbo_trace_[-1]:.4f}")
         return self
 
     def optimize_restarts(self, num_restarts: int = 1, **kw):
