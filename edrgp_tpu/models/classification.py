@@ -13,26 +13,39 @@ from sklearn.base import ClassifierMixin
 
 from ..ops.kernels import RBF
 from .base import _BaseGP
-from .cls_state import SparseVGPClassificationModel, VGPClassificationModel
+from .cls_state import (EPClassificationModel, SparseVGPClassificationModel,
+                        VGPClassificationModel)
 
 __all__ = ["GaussianProcessClassifier", "SparseGaussianProcessClassifier"]
 
 
 class GaussianProcessClassifier(_BaseGP, ClassifierMixin):
     """Binary GP classifier (native ``GPy.models.GPClassification``
-    equivalent; Bernoulli likelihood with probit link)."""
+    equivalent; Bernoulli likelihood with probit link).
+
+    ``inference`` selects the engine: ``"vi"`` (default) is the whitened
+    variational fit — one jitted L-BFGS; ``"ep"`` is damped-parallel
+    Expectation Propagation, the inference GPy itself runs at the
+    reference call site (``classification.py:63-64``)."""
 
     def __init__(self, kernels=None, kernel_options=None, Y_metadata=None,
-                 mean_function=None, method="optimize"):
+                 mean_function=None, method="optimize", inference="vi"):
         self.kernels = kernels
         self.kernel_options = kernel_options
         self.Y_metadata = Y_metadata
         self.mean_function = mean_function
         self.method = method
+        self.inference = inference
 
     def _get_model(self, X, y, kernel):
         if kernel is None:
             kernel = RBF(X.shape[1])
+        if self.inference == "ep":
+            return EPClassificationModel(X, y, kernel,
+                                         mean_function=self.mean_function)
+        if self.inference != "vi":
+            raise ValueError(f"unknown inference {self.inference!r}; "
+                             "expected 'vi' or 'ep'")
         return VGPClassificationModel(X, y, kernel,
                                       mean_function=self.mean_function)
 

@@ -21,17 +21,21 @@ import numpy as np
 
 from ..config import default_dtype
 from ..inference.lbfgs import register_objective
+from ..ops import ep as _ep
+from ..ops import exact as _exact
 from ..ops import vgp as _vgp
 from ..ops.kernels import Kernel
 from . import state as _state
 from .state import _BaseModel, _perturb_inits
 
-__all__ = ["VGPClassificationModel", "SparseVGPClassificationModel"]
+__all__ = ["VGPClassificationModel", "SparseVGPClassificationModel",
+           "EPClassificationModel"]
 
 register_objective("neg_vgp_elbo",
                    lambda kernel: lambda p, X, y: -_vgp.vgp_elbo(kernel, p, X, y))
 register_objective("neg_svgp_cls_elbo",
                    lambda kernel: lambda p, X, y: -_vgp.svgp_cls_elbo(kernel, p, X, y))
+register_objective("neg_ep_energy", _ep.ep_neg_energy_objective)
 
 
 class _BaseClsModel(_BaseModel):
@@ -139,5 +143,66 @@ class SparseVGPClassificationModel(_BaseClsModel):
         return mean[0]
 
 
+class EPClassificationModel(_BaseClsModel):
+    """Binary GP classifier fitted by Expectation Propagation — the same
+    inference GPy's ``GPClassification`` runs at the reference call site
+    (``classification.py:63-64``), in damped-parallel TPU form
+    (:mod:`edrgp_tpu.ops.ep`).  ``log_likelihood`` reports log Z_EP, the
+    EP approximation of the marginal (GPy's classifier objective)."""
+
+    _objective_name = "neg_ep_energy"
+
+    def __init__(self, X: np.ndarray, y: np.ndarray, kernel: Kernel,
+                 mean_function=None, dtype=None):
+        dtype = dtype or default_dtype()
+        self.kernel = kernel
+        self.mean_function = mean_function
+        self.normalizer = None
+        y = np.asarray(y).reshape(-1)
+        classes = np.unique(y)
+        if classes.size != 2:
+            raise ValueError(f"binary classification requires 2 classes, got {classes}")
+        self.classes_ = classes
+        self._X = jnp.asarray(X, dtype)
+        self._y = jnp.asarray(np.where(y == classes[1], 1.0, -1.0), dtype)
+        self.params = {"kernel": kernel.init_params(dtype)}
+        self._objective = float("nan")
+        self._cache = None
+
+    def _ep(self):
+        """Lazy (sites, prediction cache); reset on every optimize()."""
+        if self._cache is None:
+            state = _ep.ep_fit(self.kernel, self.params, self._X, self._y)
+            cache = _ep.ep_posterior_cache(self.kernel, self.params, self._X,
+                                           state.nu, state.tau)
+            self._cache = (state, cache)
+        return self._cache
+
+    def log_likelihood(self) -> float:
+        state, _ = self._ep()
+        return float(_ep.ep_energy(self.kernel, self.params, self._X, self._y,
+                                   state.nu, state.tau))
+
+    def _latent(self, Xnew):
+        _, cache = self._ep()
+        return _ep.ep_predict_latent(self.kernel, self.params, self._X,
+                                     cache, Xnew)
+
+    def predictive_gradients(self, Xnew):
+        """d(latent mean)/dx*: μ*(x) = k(x, X)·α is the same form as the
+        exact-GP posterior mean, so the fused mean-grad op applies."""
+        Xnew = jnp.asarray(Xnew, self._X.dtype)
+        _, (alpha, _, _) = self._ep()
+        dmu = np.asarray(_exact.predict_mean_grad(
+            self.kernel, self.params, self._X, alpha, Xnew))
+        return dmu[:, :, None], np.zeros_like(dmu)
+
+    def _latent_mean_one(self, x):  # pragma: no cover - generic fallback
+        _, (alpha, _, _) = self._ep()
+        return (self.kernel.K(self.params["kernel"], x[None, :],
+                              self._X)[0] * alpha).sum()
+
+
 _state._MODEL_CLASSES["VGPClassificationModel"] = VGPClassificationModel
 _state._MODEL_CLASSES["SparseVGPClassificationModel"] = SparseVGPClassificationModel
+_state._MODEL_CLASSES["EPClassificationModel"] = EPClassificationModel
