@@ -70,6 +70,50 @@ class Normalizer:
         return g * self.std
 
 
+class _MeanFunctionMixin:
+    """Prior mean-function semantics (GPy ``mean_function`` ctor param,
+    reference plumbing at ``regression.py:47-56``): the GP is fit on the
+    residual y − m(X), and m(x*) is added back to every posterior mean.
+    ``mean_function`` must map [N, Q] → [N] (numpy or jax)."""
+
+    mean_function = None
+
+    def _residual_targets(self, X, y_n):
+        """Subtract m(X)/σ_y from normalized targets."""
+        if self.mean_function is None:
+            return y_n
+        shift = np.asarray(self.mean_function(np.asarray(X))).reshape(-1)
+        return y_n - shift / max(self.normalizer.std, 1e-300)
+
+    def _mean_shift_at(self, Xnew) -> np.ndarray:
+        """m(x*) in the original (unnormalized) output space."""
+        if self.mean_function is None:
+            return np.zeros(np.shape(Xnew)[0])
+        return np.asarray(self.mean_function(np.asarray(Xnew))).reshape(-1)
+
+    def _mean_grad_at(self, Xnew) -> np.ndarray:
+        """dm/dx* [M, Q]; autodiff when the callable is jax-traceable,
+        central differences otherwise."""
+        if self.mean_function is None:
+            return np.zeros(np.shape(Xnew))
+        Xnew = np.asarray(Xnew, float)
+        try:
+            g = jax.vmap(jax.grad(lambda x: jnp.reshape(
+                self.mean_function(x[None, :]), ())))(jnp.asarray(Xnew))
+            return np.asarray(g)
+        except Exception:
+            eps = 1e-5 * max(1.0, float(np.abs(Xnew).max()))
+            G = np.zeros_like(Xnew)
+            for q in range(Xnew.shape[1]):
+                Xp, Xm = Xnew.copy(), Xnew.copy()
+                Xp[:, q] += eps
+                Xm[:, q] -= eps
+                G[:, q] = (np.asarray(self.mean_function(Xp)).reshape(-1)
+                           - np.asarray(self.mean_function(Xm)).reshape(-1)
+                           ) / (2 * eps)
+            return G
+
+
 def _perturb_inits(params, num: int, seed: int = 0, scale: float = 1.0):
     """Batch of initializations: [defaults, defaults + N(0,scale) noise]."""
     leaves, treedef = jax.tree_util.tree_flatten(params)
@@ -145,6 +189,7 @@ class _BaseModel:
             "normalizer": self.normalizer,
             "objective": self._objective,
             "classes": getattr(self, "classes_", None),
+            "mean_function": getattr(self, "mean_function", None),
         }
         with open(path, "wb") as f:
             _pickle.dump(state, f)
@@ -167,7 +212,7 @@ class _BaseModel:
                 for p, l in flat}
 
 
-class ExactGPModel(_BaseModel):
+class ExactGPModel(_BaseModel, _MeanFunctionMixin):
     """Exact GP regression: native ``GPy.models.GPRegression`` equivalent."""
 
     _objective_name = "exact_nlml"
@@ -180,13 +225,7 @@ class ExactGPModel(_BaseModel):
         self.mean_function = mean_function
         y = np.asarray(y).reshape(-1)
         self.normalizer = Normalizer(y, enabled=bool(normalizer))
-        self._mean_shift = None
-        if mean_function is not None:
-            # Fixed (non-trainable) prior mean, subtracted in normalized space.
-            self._mean_shift = np.asarray(mean_function(np.asarray(X))).reshape(-1)
-        y_n = self.normalizer.normalize(y)
-        if self._mean_shift is not None:
-            y_n = y_n - self._mean_shift / max(self.normalizer.std, 1e-300)
+        y_n = self._residual_targets(X, self.normalizer.normalize(y))
         self._X = jnp.asarray(X, dtype)
         self._y = jnp.asarray(y_n, dtype)
         self.params = {
@@ -211,7 +250,8 @@ class ExactGPModel(_BaseModel):
         mean, var = _exact.predict(self.kernel, self.params, self._X,
                                    self._posterior(), Xnew,
                                    include_likelihood)
-        mean = self.normalizer.unnorm_mean(np.asarray(mean))
+        mean = (self.normalizer.unnorm_mean(np.asarray(mean))
+                + self._mean_shift_at(Xnew))
         var = self.normalizer.unnorm_var(np.asarray(var))
         return mean[:, None], var[:, None]
 
@@ -222,7 +262,8 @@ class ExactGPModel(_BaseModel):
                                        cache[1], Xnew)
         dvar = _exact.predict_var_grad(self.kernel, self.params, self._X,
                                        cache, Xnew)
-        dmu = self.normalizer.unnorm_grad(np.asarray(dmu))
+        dmu = (self.normalizer.unnorm_grad(np.asarray(dmu))
+               + self._mean_grad_at(Xnew))
         dvar = self.normalizer.unnorm_var(np.asarray(dvar))
         return dmu[:, :, None], dvar
 
@@ -231,7 +272,8 @@ class ExactGPModel(_BaseModel):
         Xnew = jnp.asarray(Xnew, self._X.dtype)
         mean, cov = _exact.predict_full_cov(self.kernel, self.params,
                                             self._X, self._posterior(), Xnew)
-        return (self.normalizer.unnorm_mean(np.asarray(mean)),
+        return (self.normalizer.unnorm_mean(np.asarray(mean))
+                + self._mean_shift_at(Xnew),
                 self.normalizer.unnorm_var(np.asarray(cov)))
 
     def posterior_samples_f(self, Xnew, size: int = 10, seed: int = 0):
@@ -241,10 +283,11 @@ class ExactGPModel(_BaseModel):
         samples = _exact.posterior_samples_f(
             self.kernel, self.params, self._X, self._posterior(), Xnew,
             size, jax.random.PRNGKey(seed))
-        return self.normalizer.unnorm_mean(np.asarray(samples))
+        return (self.normalizer.unnorm_mean(np.asarray(samples))
+                + self._mean_shift_at(Xnew)[None, :])
 
 
-class SGPRModel(_BaseModel):
+class SGPRModel(_BaseModel, _MeanFunctionMixin):
     """Titsias sparse GP regression: ``GPy.models.SparseGPRegression``
     equivalent (inducing inputs optimized jointly)."""
 
@@ -262,8 +305,9 @@ class SGPRModel(_BaseModel):
             raise NotImplementedError("X_variance (uncertain inputs) is not supported")
         y = np.asarray(y).reshape(-1)
         self.normalizer = Normalizer(y, enabled=bool(normalizer))
+        y_n = self._residual_targets(X, self.normalizer.normalize(y))
         self._X = jnp.asarray(X, dtype)
-        self._y = jnp.asarray(self.normalizer.normalize(y), dtype)
+        self._y = jnp.asarray(y_n, dtype)
         if Z is None:
             # Random-subset init, GPy's default when only num_inducing given.
             rng = np.random.default_rng(seed)
@@ -297,7 +341,8 @@ class SGPRModel(_BaseModel):
         Xnew = jnp.asarray(Xnew, self._X.dtype)
         mean, var = _sgpr.predict(self.kernel, self.params, self._posterior(),
                                   Xnew, None, include_likelihood)
-        mean = self.normalizer.unnorm_mean(np.asarray(mean))
+        mean = (self.normalizer.unnorm_mean(np.asarray(mean))
+                + self._mean_shift_at(Xnew))
         var = self.normalizer.unnorm_var(np.asarray(var))
         return mean[:, None], var[:, None]
 
@@ -305,7 +350,8 @@ class SGPRModel(_BaseModel):
         Xnew = jnp.asarray(Xnew, self._X.dtype)
         cache = self._posterior()
         dmu = _sgpr.predict_mean_grad(self.kernel, self.params, cache[2], Xnew)
-        dmu = self.normalizer.unnorm_grad(np.asarray(dmu))
+        dmu = (self.normalizer.unnorm_grad(np.asarray(dmu))
+               + self._mean_grad_at(Xnew))
         dvar = self.normalizer.unnorm_var(
             np.asarray(_sgpr.predict_var_grad(self.kernel, self.params,
                                               cache, Xnew)))
@@ -333,9 +379,7 @@ def load_model(path: str):
     obj.normalizer = state["normalizer"]
     obj._objective = state["objective"]
     obj._cache = None
-    obj.mean_function = None
+    obj.mean_function = state.get("mean_function")
     if state.get("classes") is not None:
         obj.classes_ = state["classes"]
-    if cls is ExactGPModel:
-        obj._mean_shift = None
     return obj

@@ -14,8 +14,9 @@ from jax import lax
 
 from ..config import MAX_JITTER_TRIES, base_jitter
 
-__all__ = ["safe_cholesky", "cho_solve", "tri_solve", "logdet_from_chol",
-           "logdet_and_quad", "add_jitter"]
+__all__ = ["safe_cholesky", "cholesky_once", "cho_solve", "tri_solve",
+           "logdet_from_chol", "logdet_and_quad", "add_jitter",
+           "tri_inv_blocked", "sym_square_from_tri_inv"]
 
 
 def add_jitter(A: jnp.ndarray, jitter: jnp.ndarray | float) -> jnp.ndarray:
@@ -68,6 +69,48 @@ def safe_cholesky(A: jnp.ndarray, jitter0: float | None = None) -> jnp.ndarray:
     return jnp.linalg.cholesky(A + jitter * jnp.eye(n, dtype=A.dtype))
 
 
+def cholesky_once(A: jnp.ndarray, jitter0: float | None = None) -> jnp.ndarray:
+    """Value-only escalating-jitter Cholesky: ONE factorization per attempt.
+
+    :func:`safe_cholesky` pays two factorizations on the common
+    (no-jitter-needed) path — one inside the probe loop's condition, one
+    differentiable re-run.  Call sites that never differentiate through the
+    factor (the :func:`logdet_and_quad` custom VJP, posterior caches) can use
+    this variant instead, which carries the factor through the retry
+    ``while_loop`` and returns it directly.  At N=10k that removes ~23 ms
+    (a full Cholesky) from every NLML value+gradient evaluation.
+
+    NOT reverse-mode differentiable (the factor exits a ``while_loop``).
+    """
+    if jitter0 is None:
+        jitter0 = base_jitter(A.dtype)
+    A = lax.stop_gradient(A)
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    diag_mean = jnp.maximum(jnp.mean(jnp.diagonal(A)),
+                            jnp.asarray(1.0, A.dtype))
+
+    def jitter_at(i):
+        dt = A.dtype
+        growth = jnp.asarray(10.0, dt) ** (i - 1).astype(dt)
+        return jnp.where(i == 0, jnp.asarray(0.0, dt),
+                         jnp.asarray(jitter0, dt) * growth * diag_mean)
+
+    def cond(state):
+        i, L = state
+        bad = jnp.logical_not(jnp.all(jnp.isfinite(jnp.diagonal(L))))
+        return jnp.logical_and(i < MAX_JITTER_TRIES, bad)
+
+    def body(state):
+        i, _ = state
+        i = i + 1
+        return i, jnp.linalg.cholesky(A + jitter_at(i) * eye)
+
+    state0 = (jnp.asarray(0, jnp.int32), jnp.linalg.cholesky(A))
+    _, L = lax.while_loop(cond, body, state0)
+    return L
+
+
 def tri_solve(L: jnp.ndarray, B: jnp.ndarray, *, lower: bool = True,
               trans: bool = False) -> jnp.ndarray:
     """Triangular solve (XLA's blocked TPU triangular_solve)."""
@@ -85,23 +128,109 @@ def logdet_from_chol(L: jnp.ndarray) -> jnp.ndarray:
     return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
 
 
+def _pad_tri(L: jnp.ndarray, block: int):
+    """Pad a lower-triangular L to a block multiple with an identity corner.
+
+    [[L, 0], [0, I]] keeps the inverse/symmetric-square block-diagonal, so
+    results can simply be sliced back to [:n, :n].
+    """
+    n = L.shape[-1]
+    n_blocks = -(-n // block)
+    n_pad = n_blocks * block
+    if n_pad == n:
+        return L, n_blocks
+    Lp = jnp.zeros((n_pad, n_pad), L.dtype)
+    Lp = Lp.at[:n, :n].set(L)
+    Lp = Lp.at[jnp.arange(n, n_pad), jnp.arange(n, n_pad)].set(1.0)
+    return Lp, n_blocks
+
+
+def tri_inv_blocked(L: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
+    """L⁻¹ for lower-triangular L via blocked forward substitution.
+
+    XLA's TPU ``triangular_solve`` with a matrix-wide RHS runs well below
+    MXU peak (it serializes on the triangle).  The LAPACK-``trtri`` blocking
+    turns all O(N³) work into dense gemms:
+
+      L⁻¹[i,j] = −D_i⁻¹ · ( Σ_{j≤k<i} L[i,k] · L⁻¹[k,j] ),   D_i = L[i,i]
+
+    with the inner sum evaluated as ONE [b, (i−j)b] × [(i−j)b, b] matmul per
+    block (static Python loops — P = N/block is small).  Only the P diagonal
+    blocks go through ``triangular_solve``.  ~N³/3 flops, almost all MXU.
+    """
+    n = L.shape[-1]
+    if n <= block:
+        return tri_solve(L, jnp.eye(n, dtype=L.dtype), lower=True)
+    Lp, P = _pad_tri(L, block)
+    b = block
+    eye_b = jnp.eye(b, dtype=L.dtype)
+
+    Dinv = [tri_solve(Lp[i * b:(i + 1) * b, i * b:(i + 1) * b], eye_b,
+                      lower=True) for i in range(P)]
+
+    inv = [[None] * P for _ in range(P)]
+    for i in range(P):
+        inv[i][i] = Dinv[i]
+    for j in range(P):
+        for i in range(j + 1, P):
+            # rows k = j..i−1 of inverse block-column j, stacked
+            col = jnp.concatenate([inv[k][j] for k in range(j, i)], axis=0)
+            strip = Lp[i * b:(i + 1) * b, j * b:i * b]      # [b, (i−j)b]
+            inv[i][j] = -(Dinv[i] @ (strip @ col))
+
+    zero = jnp.zeros((b, b), L.dtype)
+    rows = [jnp.concatenate(inv[i][:i + 1] + [zero] * (P - 1 - i), axis=1)
+            for i in range(P)]
+    return jnp.concatenate(rows, axis=0)[:n, :n]
+
+
+def sym_square_from_tri_inv(Linv: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
+    """Linvᵀ · Linv for lower-triangular Linv, exploiting both structures.
+
+    (LinvᵀLinv)[i,j] only sums over rows k ≥ max(i,j), and the result is
+    symmetric — so compute the upper triangle (i ≤ j) with one tall-skinny
+    matmul per block pair over the contiguous row range [j·b, N) and mirror.
+    ~N³/3 flops vs N³ for the dense gemm (LAPACK ``lauum`` blocking).
+    """
+    n = Linv.shape[-1]
+    if n <= block:
+        return Linv.T @ Linv
+    Lp, P = _pad_tri(Linv, block)   # identity corner: symmetric square stays block-diagonal
+    b = block
+
+    out = [[None] * P for _ in range(P)]
+    for j in range(P):
+        tail_j = Lp[j * b:, j * b:(j + 1) * b]              # [N−jb, b]
+        for i in range(j + 1):
+            tail_i = Lp[j * b:, i * b:(i + 1) * b]          # [N−jb, b]
+            out[i][j] = tail_i.T @ tail_j
+            if i != j:
+                out[j][i] = out[i][j].T
+
+    rows = [jnp.concatenate(out[i], axis=1) for i in range(P)]
+    return jnp.concatenate(rows, axis=0)[:n, :n]
+
+
 @jax.custom_vjp
 def logdet_and_quad(Ky: jnp.ndarray, y: jnp.ndarray):
     """(log|Ky|, yᵀKy⁻¹y) with an analytic adjoint.
 
     The NLML's expensive reverse pass is the Cholesky VJP; the classic
     trace-form gradient replaces it:  ∂log|K|/∂K = K⁻¹ and
-    ∂(yᵀK⁻¹y)/∂K = −ααᵀ with α = K⁻¹y.  One triangular solve against the
-    identity + one MXU gemm for K⁻¹ beats differentiating through the
-    factorization itself (~2x on the N=10k headline benchmark).
+    ∂(yᵀK⁻¹y)/∂K = −ααᵀ with α = K⁻¹y.  K⁻¹ is formed as blocked
+    trtri + lauum (all MXU gemms, ~N³/3 flops each) — measured faster than
+    both differentiating through the factorization and the triangular-solve
+    K⁻¹ formations on the N=10k headline benchmark.  Forward uses the
+    single-factorization jitter cascade (:func:`cholesky_once`): the factor
+    is only ever consumed as a value here, never differentiated through.
     """
-    L = safe_cholesky(Ky)
+    L = cholesky_once(Ky)
     alpha = cho_solve(L, y[:, None])[:, 0]
     return logdet_from_chol(L), y @ alpha
 
 
 def _ldq_fwd(Ky, y):
-    L = safe_cholesky(Ky)
+    L = cholesky_once(Ky)
     alpha = cho_solve(L, y[:, None])[:, 0]
     return (logdet_from_chol(L), y @ alpha), (L, alpha)
 
@@ -109,29 +238,8 @@ def _ldq_fwd(Ky, y):
 def _ldq_bwd(res, cotangents):
     L, alpha = res
     g_logdet, g_quad = cotangents
-    n = L.shape[-1]
-    # K⁻¹ = L⁻ᵀL⁻¹ in two stages.  Stage 1: L⁻¹ column-chunk by
-    # column-chunk — XLA's TPU triangular solve with an N-wide RHS keeps
-    # O(N/block) full-size temps live (OOMs at N=10k on a 16G chip), so a
-    # fori_loop over ~2k-column panels bounds live memory while keeping the
-    # MXU fed.  Stage 2: one near-peak gemm LinvᵀLinv — measured ~30%
-    # faster overall than chaining a second chunked solve.
-    chunk = min(n, 2048)
-    n_chunks = -(-n // chunk)
-    n_pad = n_chunks * chunk
-    Linv0 = jnp.zeros((n, n_pad), dtype=L.dtype)
-
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, chunk), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, chunk), 1)
-
-    def body(i, Linv):
-        # identity columns [i·chunk, (i+1)·chunk) (zero past n)
-        cols = (row_ids == col_ids + i * chunk).astype(L.dtype)
-        Z = tri_solve(L, cols, lower=True)
-        return lax.dynamic_update_slice(Linv, Z, (0, i * chunk))
-
-    Linv = lax.fori_loop(0, n_chunks, body, Linv0)[:, :n]
-    Kinv = Linv.T @ Linv
+    Linv = tri_inv_blocked(L)
+    Kinv = sym_square_from_tri_inv(Linv)
     dK = g_logdet * Kinv - g_quad * jnp.outer(alpha, alpha)
     dy = 2.0 * g_quad * alpha
     return dK, dy

@@ -196,3 +196,53 @@ def test_posterior_samples_f():
     Cs = np.cov(S.T)
     corr = np.corrcoef(Cs.ravel(), cov.ravel())[0, 1]
     assert corr > 0.9
+
+
+# --- mean functions (G8: reference ctor params regression.py:47-56) --------
+
+def _linear_mean(X):
+    return 2.0 + 3.0 * X[:, 0]
+
+
+@pytest.mark.parametrize("sparse", [False, True])
+def test_mean_function_posterior(sparse):
+    """GP with prior mean m(x): posterior mean = m(x*) + k*ᵀK⁻¹(y − m(X)),
+    so extrapolation far from the data reverts to m(x*), and predictions on
+    the data reproduce y."""
+    rng = np.random.default_rng(0)
+    X = np.linspace(0, 4, 50)[:, None]
+    y = _linear_mean(X) + np.sin(2 * X[:, 0]) + 0.05 * rng.normal(size=50)
+    cls = SparseGaussianProcessRegressor if sparse else GaussianProcessRegressor
+    kw = {"num_inducing": 25} if sparse else {}
+    gp = cls(mean_function=_linear_mean, **kw)
+    gp.fit(X, y)
+
+    # interpolation quality
+    pred = gp.predict(X)
+    assert np.mean((pred - y) ** 2) < 0.05
+
+    # extrapolation reverts toward the prior mean, not the data mean
+    Xfar = np.array([[25.0], [30.0]])
+    far = gp.predict(Xfar)
+    np.testing.assert_allclose(far, _linear_mean(Xfar), rtol=0.2)
+
+    # gradient includes dm/dx* (compare against finite differences)
+    Xq = X[5:15]
+    dmu = gp.predict_gradient(Xq)
+    eps = 1e-4
+    fd = (gp.predict(Xq + eps) - gp.predict(Xq - eps)) / (2 * eps)
+    np.testing.assert_allclose(dmu[:, 0], fd, rtol=1e-2, atol=1e-3)
+
+
+def test_mean_function_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    X = np.linspace(0, 3, 30)[:, None]
+    y = _linear_mean(X) + 0.1 * rng.normal(size=30)
+    gp = GaussianProcessRegressor(mean_function=_linear_mean)
+    gp.fit(X, y)
+    path = str(tmp_path / "m")
+    gp.save(path)
+    gp2 = GaussianProcessRegressor().load(path)
+    np.testing.assert_allclose(gp2.predict(X), gp.predict(X), rtol=1e-6)
+    Xfar = np.array([[20.0]])
+    np.testing.assert_allclose(gp2.predict(Xfar), gp.predict(Xfar), rtol=1e-6)

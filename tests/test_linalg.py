@@ -1,0 +1,80 @@
+"""Blocked linear-algebra kernels: trtri/lauum blocking, jitter cascade.
+
+These back the trace-form NLML adjoint (``ops/linalg.py::logdet_and_quad``),
+the replacement for GPy/LAPACK's dpotri path (SURVEY.md §2.2 G2).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from edrgp_tpu.ops import linalg
+
+
+def _chol(n, seed=0):
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(n, n))
+    K = A @ A.T + n * np.eye(n)
+    return jnp.asarray(K), jnp.asarray(np.linalg.cholesky(K))
+
+
+@pytest.mark.parametrize("n", [3, 120, 513, 1030])
+def test_tri_inv_blocked(n):
+    _, L = _chol(n)
+    Linv = linalg.tri_inv_blocked(L, block=256)
+    np.testing.assert_allclose(np.asarray(Linv @ L), np.eye(n), atol=1e-9)
+    # strictly lower-triangular output (upper blocks exactly zero)
+    assert np.all(np.triu(np.asarray(Linv), 1) == 0)
+
+
+@pytest.mark.parametrize("n", [3, 120, 513, 1030])
+def test_sym_square_from_tri_inv(n):
+    K, L = _chol(n)
+    Linv = linalg.tri_inv_blocked(L, block=256)
+    Kinv = linalg.sym_square_from_tri_inv(Linv, block=256)
+    np.testing.assert_allclose(np.asarray(Kinv @ K), np.eye(n), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Kinv), np.asarray(Kinv).T)
+
+
+def test_cholesky_once_matches_plain():
+    K, L = _chol(200, seed=3)
+    Lo = linalg.cholesky_once(K)
+    np.testing.assert_allclose(np.asarray(Lo), np.asarray(L), atol=1e-10)
+
+
+def test_cholesky_once_jitter_escalation():
+    # Rank-deficient: requires the escalating-jitter path.
+    K = jnp.ones((64, 64))
+    L = linalg.cholesky_once(K)
+    assert bool(jnp.all(jnp.isfinite(L)))
+    # factor reproduces K up to the (small) added jitter
+    err = float(jnp.abs(L @ L.T - K).max())
+    assert err < 1e-3
+
+
+def test_cholesky_once_vmap():
+    K, _ = _chol(64, seed=5)
+    Kb = jnp.stack([K, 2.0 * K])
+    Lb = jax.vmap(linalg.cholesky_once)(Kb)
+    for i, scale in enumerate([1.0, 2.0]):
+        np.testing.assert_allclose(
+            np.asarray(Lb[i] @ Lb[i].T), np.asarray(scale * K), rtol=1e-10)
+
+
+def test_logdet_and_quad_grad_matches_autodiff():
+    K, _ = _chol(150, seed=7)
+    y = jnp.asarray(np.random.default_rng(7).normal(size=150))
+
+    def f_custom(Km):
+        ld, q = linalg.logdet_and_quad(Km, y)
+        return 0.7 * ld + 1.3 * q
+
+    def f_ref(Km):
+        L = jnp.linalg.cholesky(Km)
+        al = jax.scipy.linalg.cho_solve((L, True), y)
+        return 0.7 * 2.0 * jnp.sum(jnp.log(jnp.diag(L))) + 1.3 * (y @ al)
+
+    g1 = jax.grad(f_custom)(K)
+    g2 = jax.grad(f_ref)(K)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-10)
