@@ -36,3 +36,32 @@ def on_tpu() -> bool:
         return jax.default_backend() == "tpu"
     except RuntimeError:  # pragma: no cover - no backend at all
         return False
+
+
+#: MXU precision for the blocked trtri/lauum gemms on the NLML adjoint path
+#: (:mod:`edrgp_tpu.ops.linalg`).  On TPU, float32 matmuls at DEFAULT
+#: precision run one bf16 pass per operand; HIGH runs 3 passes (~fp32
+#: accuracy), HIGHEST runs 6.  Errors compound through the block recursion,
+#: so the adjoint path defaults to HIGH on TPU — measured on the N=10k
+#: headline benchmark to recover ~6 significant digits of the gradient at a
+#: small cost (the factorization, not the gemms, dominates wall time; see
+#: BENCH_NOTES.md).  On CPU every precision is exact fp32/fp64.
+_ADJOINT_PRECISION = None
+
+
+def adjoint_precision():
+    """Resolved ``lax.Precision`` for the blocked-inverse gemms."""
+    global _ADJOINT_PRECISION
+    if _ADJOINT_PRECISION is None:
+        import os
+        name = os.environ.get("EDRGP_ADJOINT_PRECISION", "high").upper()
+        _ADJOINT_PRECISION = getattr(jax.lax.Precision, name)
+    return _ADJOINT_PRECISION
+
+
+def set_adjoint_precision(name: str | None):
+    """Override the adjoint gemm precision ('default' | 'high' | 'highest');
+    None resets to the environment/default resolution."""
+    global _ADJOINT_PRECISION
+    _ADJOINT_PRECISION = (None if name is None
+                          else getattr(jax.lax.Precision, name.upper()))

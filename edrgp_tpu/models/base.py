@@ -98,7 +98,14 @@ class _BaseGP(BaseEstimator, metaclass=ABCMeta):
         self.estimator_.pickle(model_path)
 
     def load(self, model_path):
+        """Load a fitted model saved with :meth:`save` and return ``self``
+        (the reference's ``load`` at ``gp_model/base.py:242-256`` returns
+        None; returning the estimator makes
+        ``GaussianProcessRegressor().load(path)`` chainable)."""
         if not model_path.endswith(".pickle"):
             model_path += ".pickle"
         self.estimator_ = load_model(model_path)
         self.n_features_ = int(np.asarray(self.estimator_._X).shape[1])
+        if hasattr(self.estimator_, "classes_"):
+            self.classes_ = self.estimator_.classes_
+        return self

@@ -130,17 +130,44 @@ class BayesianGPModel:
         return float(jnp.mean(vals))
 
     def pickle(self, path):
-        import pickle as _pickle
-        with open(path, "wb") as f:
-            _pickle.dump({
-                "class": "BayesianGPModel",
-                "kernel": self.kernel,
-                "samples": np.asarray(self.samples_),
-                "X": np.asarray(self._X),
-                "y": np.asarray(self._y),
-                "normalizer": self.normalizer,
-                "diagnostics": self.diagnostics_,
-            }, f)
+        """Save the posterior ensemble; round-trip partner is the
+        ``BayesianGPModel`` loader registered in ``state._MODEL_LOADERS``
+        (reference persistence contract ``gp_model/base.py:224-257``)."""
+        from .state import _atomic_pickle_dump
+        _atomic_pickle_dump({
+            "class": "BayesianGPModel",
+            "kernel": self.kernel,
+            "samples": np.asarray(self.samples_),
+            "X": np.asarray(self._X),
+            "y": np.asarray(self._y),
+            "normalizer": self.normalizer,
+            "diagnostics": self.diagnostics_,
+            "cfg": dict(self._cfg),
+            "max_models": self.max_models,
+            "seed": self._seed,
+        }, path)
+
+    @classmethod
+    def _load(cls, state):
+        obj = cls.__new__(cls)
+        obj.kernel = state["kernel"]
+        obj._X = jnp.asarray(state["X"])
+        obj._y = jnp.asarray(state["y"])
+        obj.normalizer = state["normalizer"]
+        obj.diagnostics_ = state.get("diagnostics", {})
+        obj._cfg = state.get("cfg", dict(num_chains=4, num_warmup=300,
+                                         num_samples=300, max_depth=8,
+                                         prior_scale=3.0))
+        obj.max_models = state.get("max_models", 32)
+        obj._seed = state.get("seed", 0)
+        p0 = {"kernel": obj.kernel.init_params(obj._X.dtype),
+              "raw_noise": inv_positive(jnp.asarray(1.0, obj._X.dtype))}
+        obj._flat0, obj._unravel = ravel_pytree(p0)
+        obj.samples_ = jnp.asarray(state["samples"])
+        obj._caches = jax.vmap(
+            lambda q: _exact.posterior(obj.kernel, obj._unravel(q),
+                                       obj._X, obj._y))(obj.samples_)
+        return obj
 
     @property
     def noise_variance(self):
@@ -148,6 +175,11 @@ class BayesianGPModel:
         vals = [float(positive(self._unravel(q)["raw_noise"]))
                 for q in np.asarray(self.samples_)]
         return float(np.mean(vals))
+
+
+from . import state as _state  # noqa: E402  (registration after class def)
+
+_state._MODEL_LOADERS["BayesianGPModel"] = BayesianGPModel._load
 
 
 class BayesianGaussianProcessRegressor(_BaseGP):

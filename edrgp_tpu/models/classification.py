@@ -55,7 +55,11 @@ class GaussianProcessClassifier(_BaseGP, ClassifierMixin):
         return self
 
     def predict(self, X):
-        return super().predict(X) > 0.5
+        """Labels from ``classes_`` for P(class 1) > 0.5.  (The reference
+        returns raw booleans — ``classification.py:81`` — which is wrong for
+        any label set beyond {0, 1}; fixed per SURVEY.md §7's bug-fix
+        license.)"""
+        return self.classes_[(super().predict(X) > 0.5).astype(int)]
 
     def predict_proba(self, X):
         return super().predict(X)
@@ -88,7 +92,8 @@ class SparseGaussianProcessClassifier(_BaseGP, ClassifierMixin):
         return self
 
     def predict(self, X):
-        return super().predict(X) > 0.5
+        """Labels from ``classes_`` (see ``GaussianProcessClassifier.predict``)."""
+        return self.classes_[(super().predict(X) > 0.5).astype(int)]
 
     def predict_proba(self, X):
         return super().predict(X)

@@ -74,7 +74,16 @@ class _MeanFunctionMixin:
     """Prior mean-function semantics (GPy ``mean_function`` ctor param,
     reference plumbing at ``regression.py:47-56``): the GP is fit on the
     residual y − m(X), and m(x*) is added back to every posterior mean.
-    ``mean_function`` must map [N, Q] → [N] (numpy or jax)."""
+    ``mean_function`` must map [N, Q] → [N] (numpy or jax).
+
+    Deliberate deviation from GPy under ``normalizer=True``: here ``m``
+    operates in the *original* output space (residuals are m(X)/σ_y on the
+    normalized scale; m(x*) is added back after un-normalization), so
+    extrapolation far from the data reverts to exactly ``m(x*)``.  GPy
+    instead applies ``m`` on the normalized scale, making the effective
+    prior mean ``μ_y + σ_y·m(x*)`` — surprising and normalizer-dependent.
+    See PARITY.md (G8) for the accounting.
+    """
 
     mean_function = None
 
@@ -112,6 +121,20 @@ class _MeanFunctionMixin:
                            - np.asarray(self.mean_function(Xm)).reshape(-1)
                            ) / (2 * eps)
             return G
+
+
+def _atomic_pickle_dump(state, path: str):
+    """Serialize to a sibling tmp file, then rename — a failed dump never
+    truncates an existing checkpoint."""
+    import os
+    tmp = path + ".tmp"
+    try:
+        with open(tmp, "wb") as f:
+            _pickle.dump(state, f)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def _perturb_inits(params, num: int, seed: int = 0, scale: float = 1.0):
@@ -179,8 +202,8 @@ class _BaseModel:
         return self
 
     # --- persistence (gp_model/base.py:224-257 save/load parity) ----------
-    def pickle(self, path: str):
-        state = {
+    def _pickle_state(self) -> dict:
+        return {
             "class": type(self).__name__,
             "kernel": self.kernel,
             "params": jax.tree_util.tree_map(np.asarray, self.params),
@@ -191,8 +214,22 @@ class _BaseModel:
             "classes": getattr(self, "classes_", None),
             "mean_function": getattr(self, "mean_function", None),
         }
-        with open(path, "wb") as f:
-            _pickle.dump(state, f)
+
+    def pickle(self, path: str):
+        state = self._pickle_state()
+        mf = state.get("mean_function")
+        if mf is not None:
+            # A lambda/closure mean function is unpicklable; warn and drop
+            # it rather than fail (the loaded model predicts without the
+            # prior-mean shift).
+            try:
+                _pickle.dumps(mf)
+            except Exception:
+                import warnings
+                warnings.warn("mean_function is not picklable; saving the "
+                              "model without it", RuntimeWarning)
+                state["mean_function"] = None
+        _atomic_pickle_dump(state, path)
 
     @property
     def noise_variance(self) -> float:
@@ -368,6 +405,12 @@ def load_model(path: str):
     """Round-trip partner of ``_BaseModel.pickle`` (native ``GPy.load``)."""
     with open(path, "rb") as f:
         state = _pickle.load(f)
+    if state["class"] not in _MODEL_LOADERS and state["class"] not in _MODEL_CLASSES:
+        # Loaders register as an import side effect; pull in the model
+        # modules that might not have been imported yet.
+        import importlib
+        for mod in ("bayesian", "cls_state", "heteroscedastic"):
+            importlib.import_module(f"{__package__}.{mod}")
     if state["class"] in _MODEL_LOADERS:
         return _MODEL_LOADERS[state["class"]](state)
     cls = _MODEL_CLASSES[state["class"]]

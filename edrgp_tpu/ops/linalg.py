@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..config import MAX_JITTER_TRIES, base_jitter
+from ..config import MAX_JITTER_TRIES, adjoint_precision, base_jitter
 
 __all__ = ["safe_cholesky", "cholesky_once", "cho_solve", "tri_solve",
            "logdet_from_chol", "logdet_and_quad", "add_jitter",
@@ -80,7 +80,10 @@ def cholesky_once(A: jnp.ndarray, jitter0: float | None = None) -> jnp.ndarray:
     ``while_loop`` and returns it directly.  At N=10k that removes ~23 ms
     (a full Cholesky) from every NLML value+gradient evaluation.
 
-    NOT reverse-mode differentiable (the factor exits a ``while_loop``).
+    NOT reverse-mode differentiable: the input passes through
+    ``stop_gradient``, so cotangents flowing into the factor are silently
+    ZEROED (not an error).  Never place this on a path whose gradient you
+    need — use :func:`safe_cholesky` there.
     """
     if jitter0 is None:
         jitter0 = base_jitter(A.dtype)
@@ -157,7 +160,12 @@ def tri_inv_blocked(L: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
     with the inner sum evaluated as ONE [b, (i−j)b] × [(i−j)b, b] matmul per
     block (static Python loops — P = N/block is small).  Only the P diagonal
     blocks go through ``triangular_solve``.  ~N³/3 flops, almost all MXU.
+
+    Errors compound through the block recursion, so the gemms run at
+    :func:`edrgp_tpu.config.adjoint_precision` (HIGH by default: 3-pass
+    bf16 ≈ fp32 accuracy on TPU) rather than the single-pass default.
     """
+    prec = adjoint_precision()
     n = L.shape[-1]
     if n <= block:
         return tri_solve(L, jnp.eye(n, dtype=L.dtype), lower=True)
@@ -176,7 +184,9 @@ def tri_inv_blocked(L: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
             # rows k = j..i−1 of inverse block-column j, stacked
             col = jnp.concatenate([inv[k][j] for k in range(j, i)], axis=0)
             strip = Lp[i * b:(i + 1) * b, j * b:i * b]      # [b, (i−j)b]
-            inv[i][j] = -(Dinv[i] @ (strip @ col))
+            inv[i][j] = -jnp.matmul(
+                Dinv[i], jnp.matmul(strip, col, precision=prec),
+                precision=prec)
 
     zero = jnp.zeros((b, b), L.dtype)
     rows = [jnp.concatenate(inv[i][:i + 1] + [zero] * (P - 1 - i), axis=1)
@@ -192,9 +202,10 @@ def sym_square_from_tri_inv(Linv: jnp.ndarray, block: int = 1024) -> jnp.ndarray
     matmul per block pair over the contiguous row range [j·b, N) and mirror.
     ~N³/3 flops vs N³ for the dense gemm (LAPACK ``lauum`` blocking).
     """
+    prec = adjoint_precision()
     n = Linv.shape[-1]
     if n <= block:
-        return Linv.T @ Linv
+        return jnp.matmul(Linv.T, Linv, precision=prec)
     Lp, P = _pad_tri(Linv, block)   # identity corner: symmetric square stays block-diagonal
     b = block
 
@@ -203,7 +214,7 @@ def sym_square_from_tri_inv(Linv: jnp.ndarray, block: int = 1024) -> jnp.ndarray
         tail_j = Lp[j * b:, j * b:(j + 1) * b]              # [N−jb, b]
         for i in range(j + 1):
             tail_i = Lp[j * b:, i * b:(i + 1) * b]          # [N−jb, b]
-            out[i][j] = tail_i.T @ tail_j
+            out[i][j] = jnp.matmul(tail_i.T, tail_j, precision=prec)
             if i != j:
                 out[j][i] = out[i][j].T
 

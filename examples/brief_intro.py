@@ -40,7 +40,7 @@ def main():
     yc = (X[:, 0] + X[:, 1] > 0).astype(int)
     clf = GaussianProcessClassifier()
     clf.fit(X, yc)
-    print("classifier accuracy:", (clf.predict(X) == (yc == 1)).mean())
+    print("classifier accuracy:", (clf.predict(X) == yc).mean())
 
     # --- iterative EDR on 10-D data with a 2-D effective subspace ------
     X10 = get_beta_inputs(400, 10, rng=rng)

@@ -19,3 +19,23 @@ _cache_dir = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _build_native_loader():
+    """Build ``native/libedrgp_data.so`` so the C++ loader tests run
+    (skip only when no compiler is available)."""
+    import shutil
+    import subprocess
+
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    so = os.path.join(repo, "native", "libedrgp_data.so")
+    src = os.path.join(repo, "native", "dataloader.cpp")
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return
+    if shutil.which("make") is None and shutil.which("g++") is None:
+        return
+    subprocess.run(["make", "-C", os.path.join(repo, "native")],
+                   check=False, capture_output=True, timeout=120)
+
+
+_build_native_loader()

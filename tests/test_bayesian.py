@@ -44,6 +44,18 @@ def test_posterior_gradients_shape_and_direction(fitted):
     assert np.abs(g[:, 0]).mean() > 5 * np.abs(g[:, 1]).mean()
 
 
+def test_bayesian_save_load_roundtrip(fitted, tmp_path):
+    bgp, X, _ = fitted
+    path = str(tmp_path / "bayes")
+    bgp.save(path)
+    bgp2 = BayesianGaussianProcessRegressor().load(path)
+    np.testing.assert_allclose(bgp2.predict(X), bgp.predict(X), rtol=1e-6)
+    np.testing.assert_allclose(bgp2.predict_gradient(X[:10]),
+                               bgp.predict_gradient(X[:10]), rtol=1e-6)
+    np.testing.assert_allclose(bgp2.estimator_.log_likelihood(),
+                               bgp.estimator_.log_likelihood(), rtol=1e-8)
+
+
 def test_bayesian_edr():
     rng = np.random.default_rng(1)
     X = rng.normal(size=(70, 2))

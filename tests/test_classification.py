@@ -33,11 +33,25 @@ def test_predict_proba_range_and_threshold():
     proba = clf.predict_proba(X)
     assert proba.shape == (len(X),)
     assert np.all((proba >= 0) & (proba <= 1))
-    # predict is proba > 0.5 (reference classification.py:81)
-    np.testing.assert_array_equal(clf.predict(X), proba > 0.5)
+    # predict thresholds proba at 0.5 (reference classification.py:81),
+    # mapped through classes_
+    np.testing.assert_array_equal(clf.predict(X),
+                                  clf.classes_[(proba > 0.5).astype(int)])
     # probabilities track the labels
     assert proba[y == 1].mean() > 0.7
     assert proba[y == 0].mean() < 0.3
+
+
+def test_predict_returns_original_labels():
+    """Labels outside {0, 1} round-trip through predict (the reference
+    returned raw booleans — fixed per SURVEY.md §7's bug-fix license)."""
+    X, y01 = _blobs()
+    y = np.where(y01 == 1, 7, -3)
+    clf = GaussianProcessClassifier()
+    clf.fit(X, y)
+    pred = clf.predict(X)
+    assert set(np.unique(pred)) <= {-3, 7}
+    assert (pred == y).mean() > 0.9
 
 
 def test_sparse_classifier():
