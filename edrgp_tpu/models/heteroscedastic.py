@@ -3,11 +3,15 @@
 The reference carries this model *commented out*
 (``/root/reference/edrgp/gp_model/regression.py:159-212``, delegating to
 ``GPy.models.GPHeteroscedasticRegression``); here it is implemented and
-tested.  The likelihood is N(yᵢ | fᵢ, σᵢ²) with per-point σᵢ² optimized
-jointly with the kernel by ML-II (GPy's Y_metadata ``output_index``
-mechanism ⇒ one noise parameter per observation).  Predictions at new
-points return the *latent* mean/variance (a new point has no
-observation-noise estimate — GPy behaves the same way).
+tested.  The likelihood is N(yᵢ | fᵢ, σ²_{g(i)}) where the grouping g
+follows GPy's ``Y_metadata`` contract (reference ctor passthrough at
+``regression.py:47-56``): ``Y_metadata={"output_index": idx}`` ties noise
+variances within each group (one learnable σ² per unique index); without
+metadata every observation gets its own σᵢ² (GPy's het default, where
+``output_index = arange(N)``).  All σ² are optimized jointly with the
+kernel by ML-II.  Predictions at new points return the *latent*
+mean/variance (a new point has no observation-noise estimate — GPy
+behaves the same way).
 """
 
 from __future__ import annotations
@@ -34,21 +38,23 @@ _LOG2PI = math.log(2.0 * math.pi)
 
 
 @partial(jax.jit, static_argnums=0)
-def _het_nlml(kernel: Kernel, params, X, y):
+def _het_nlml(kernel: Kernel, params, X, y, idx):
+    """NLML with per-group noise: σ²ᵢ = positive(raw_noise)[idx[i]]."""
     K = kernel.K(params["kernel"], X, X)
-    Ky = K + jnp.diag(positive(params["raw_noise"]))
+    Ky = K + jnp.diag(positive(params["raw_noise"])[idx])
     logdet, quad = logdet_and_quad(Ky, y)
     return 0.5 * (X.shape[0] * _LOG2PI + logdet + quad)
 
 
 register_objective("het_nlml",
-                   lambda kernel: lambda p, X, y: _het_nlml(kernel, p, X, y))
+                   lambda kernel: lambda p, X, y, idx: _het_nlml(
+                       kernel, p, X, y, idx))
 
 
 @partial(jax.jit, static_argnums=0)
-def _het_posterior(kernel: Kernel, params, X, y):
+def _het_posterior(kernel: Kernel, params, X, y, idx):
     K = kernel.K(params["kernel"], X, X)
-    Ky = K + jnp.diag(positive(params["raw_noise"]))
+    Ky = K + jnp.diag(positive(params["raw_noise"])[idx])
     L = safe_cholesky(Ky)
     alpha = cho_solve(L, y[:, None])[:, 0]
     return L, alpha
@@ -68,15 +74,30 @@ class HeteroscedasticGPModel(_BaseModel):
         self._X = jnp.asarray(X, dtype)
         self._y = jnp.asarray(self.normalizer.normalize(y), dtype)
         n = X.shape[0]
+        if Y_metadata is not None and "output_index" in Y_metadata:
+            # GPy semantics: observations sharing an output_index share one
+            # learnable noise variance.
+            raw_idx = np.asarray(Y_metadata["output_index"]).reshape(-1)
+            if raw_idx.shape[0] != n:
+                raise ValueError(
+                    f"Y_metadata['output_index'] has {raw_idx.shape[0]} "
+                    f"entries for {n} observations")
+            self.groups_, idx = np.unique(raw_idx, return_inverse=True)
+        else:
+            self.groups_, idx = np.arange(n), np.arange(n)
+        self._idx = jnp.asarray(idx, jnp.int32)
         self.params = {
             "kernel": kernel.init_params(dtype),
-            "raw_noise": jnp.full((n,), float(inv_positive(
+            "raw_noise": jnp.full((len(self.groups_),), float(inv_positive(
                 jnp.asarray(noise_var, dtype))), dtype),
         }
         self._objective = float("nan")
         self._cache = None
 
     _objective_name = "het_nlml"
+
+    def _fit_data(self):
+        return (self._X, self._y, self._idx)
 
     def optimize_restarts(self, num_restarts: int = 1, **kw):
         # per-point noise makes restart perturbation of N params unhelpful
@@ -85,17 +106,24 @@ class HeteroscedasticGPModel(_BaseModel):
     def _posterior(self):
         if self._cache is None:
             self._cache = _het_posterior(self.kernel, self.params,
-                                         self._X, self._y)
+                                         self._X, self._y, self._idx)
         return self._cache
 
     def log_likelihood(self) -> float:
-        return float(-_het_nlml(self.kernel, self.params, self._X, self._y))
+        return float(-_het_nlml(self.kernel, self.params, self._X, self._y,
+                                self._idx))
+
+    @property
+    def group_noise_variances_(self) -> np.ndarray:
+        """Learned noise per Y_metadata group (original y scale), ordered
+        like ``groups_``."""
+        return np.asarray(positive(self.params["raw_noise"])) \
+            * self.normalizer.std ** 2
 
     @property
     def noise_variances_(self) -> np.ndarray:
         """Per-point learned noise in the original y scale."""
-        return np.asarray(positive(self.params["raw_noise"])) \
-            * self.normalizer.std ** 2
+        return self.group_noise_variances_[np.asarray(self._idx)]
 
     @property
     def noise_variance(self) -> float:
@@ -127,7 +155,32 @@ class HeteroscedasticGPModel(_BaseModel):
         return dmu[:, :, None], np.zeros_like(dmu)
 
 
+    def _pickle_state(self) -> dict:
+        state = super()._pickle_state()
+        state["idx"] = np.asarray(self._idx)
+        state["groups"] = np.asarray(self.groups_)
+        state["Y_metadata"] = self.Y_metadata
+        return state
+
+
+def _load_het(state):
+    obj = HeteroscedasticGPModel.__new__(HeteroscedasticGPModel)
+    obj.kernel = state["kernel"]
+    obj.params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+    obj._X = jnp.asarray(state["X"])
+    obj._y = jnp.asarray(state["y"])
+    obj.normalizer = state["normalizer"]
+    obj._objective = state["objective"]
+    obj._cache = None
+    obj.mean_function = state.get("mean_function")
+    obj._idx = jnp.asarray(state["idx"], jnp.int32)
+    obj.groups_ = np.asarray(state["groups"])
+    obj.Y_metadata = state.get("Y_metadata")
+    return obj
+
+
 _state._MODEL_CLASSES["HeteroscedasticGPModel"] = HeteroscedasticGPModel
+_state._MODEL_LOADERS["HeteroscedasticGPModel"] = _load_het
 
 
 class GaussianProcessHeteroscedasticRegressor(_BaseGP):

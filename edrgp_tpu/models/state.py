@@ -166,13 +166,19 @@ class _BaseModel:
         would burn max_iters on noise)."""
         return 1e-6 if self._X.dtype == jnp.float64 else 3e-4
 
+    def _fit_data(self) -> tuple:
+        """Arrays handed to the registered objective after params.  Models
+        whose likelihood needs extra per-point data (e.g. Y_metadata group
+        indices) append to this tuple."""
+        return (self._X, self._y)
+
     # --- fitting ----------------------------------------------------------
     def optimize(self, messages: bool = False, max_iters: int = 1000,
                  tol: float | None = None, **_ignored):
         tol = self._default_tol() if tol is None else tol
         res = minimize_segmented(
             self._objective_name, self.kernel, self.params,
-            (self._X, self._y), max_iters=int(max_iters), tol=float(tol),
+            self._fit_data(), max_iters=int(max_iters), tol=float(tol),
             segment_iters=_segment_budget(max_iters))
         self.params = jax.tree_util.tree_map(jnp.asarray, res.params)
         self._objective = float(res.value)
@@ -190,7 +196,7 @@ class _BaseModel:
             return self.optimize(messages=messages, max_iters=max_iters, tol=tol)
         inits = _perturb_inits(self.params, int(num_restarts), seed=seed)
         res = minimize_restarts_segmented(
-            self._objective_name, self.kernel, inits, (self._X, self._y),
+            self._objective_name, self.kernel, inits, self._fit_data(),
             max_iters=int(max_iters), tol=float(tol),
             segment_iters=_segment_budget(max_iters))
         self.params = jax.tree_util.tree_map(jnp.asarray, res.params)

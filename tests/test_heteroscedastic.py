@@ -50,6 +50,53 @@ def test_gradient_contract():
     np.testing.assert_allclose(g[:, 0], fd, rtol=1e-4, atol=1e-6)
 
 
+def test_y_metadata_groups_tie_noise():
+    """Y_metadata output_index (GPy contract, ref regression.py:47-56):
+    observations sharing an index share one learnable noise variance, and
+    the fitted group noises reflect the generating noise levels."""
+    rng = np.random.default_rng(3)
+    n = 200
+    X = np.linspace(-3, 3, n)[:, None]
+    idx = (np.arange(n) % 2)          # interleaved groups 0 / 1
+    sig = np.where(idx == 0, 0.05, 0.5)
+    y = np.sin(X[:, 0]) + sig * rng.normal(size=n)
+    gp = GaussianProcessHeteroscedasticRegressor(
+        Y_metadata={"output_index": idx})
+    gp.fit(X, y)
+    m = gp.estimator_
+    # one parameter per group, expanded per point
+    assert m.group_noise_variances_.shape == (2,)
+    nv = m.noise_variances_
+    assert nv.shape == (n,)
+    assert np.allclose(nv[idx == 0], nv[idx == 0][0])
+    assert np.allclose(nv[idx == 1], nv[idx == 1][0])
+    # quiet group ≈ 0.05² ≪ loud group ≈ 0.5²; require the right ordering
+    # with margin and rough magnitude agreement
+    g0, g1 = m.group_noise_variances_
+    assert g1 > 10 * g0
+    assert 0.1 ** 2 < g1 < 1.0 ** 2
+
+
+def test_y_metadata_save_load_roundtrip(tmp_path):
+    from edrgp_tpu.models.state import load_model
+    rng = np.random.default_rng(4)
+    n = 80
+    X = np.linspace(-2, 2, n)[:, None]
+    idx = np.repeat([7, 3], n // 2)   # non-contiguous group labels
+    y = np.sin(X[:, 0]) + 0.1 * rng.normal(size=n)
+    gp = GaussianProcessHeteroscedasticRegressor(
+        Y_metadata={"output_index": idx})
+    gp.fit(X, y, max_iters=60)
+    path = str(tmp_path / "het.pickle")
+    gp.estimator_.pickle(path)
+    m2 = load_model(path)
+    np.testing.assert_allclose(m2.noise_variances_,
+                               gp.estimator_.noise_variances_)
+    np.testing.assert_allclose(np.asarray(m2.predict(X)[0]),
+                               np.asarray(gp.estimator_.predict(X)[0]))
+    assert list(m2.groups_) == [3, 7]
+
+
 def test_in_edr():
     from edrgp_tpu import EffectiveDimensionalityReduction, SVDTransformer
     rng = np.random.default_rng(1)
