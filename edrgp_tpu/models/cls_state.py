@@ -32,26 +32,37 @@ __all__ = ["VGPClassificationModel", "SparseVGPClassificationModel",
            "EPClassificationModel"]
 
 register_objective("neg_vgp_elbo",
-                   lambda kernel: lambda p, X, y: -_vgp.vgp_elbo(kernel, p, X, y))
+                   lambda kernel: lambda p, X, y: -_vgp.vgp_elbo(
+                       kernel, p, X, y, "probit"))
+register_objective("neg_vgp_elbo_logit",
+                   lambda kernel: lambda p, X, y: -_vgp.vgp_elbo(
+                       kernel, p, X, y, "logit"))
 register_objective("neg_svgp_cls_elbo",
-                   lambda kernel: lambda p, X, y: -_vgp.svgp_cls_elbo(kernel, p, X, y))
+                   lambda kernel: lambda p, X, y: -_vgp.svgp_cls_elbo(
+                       kernel, p, X, y, "probit"))
+register_objective("neg_svgp_cls_elbo_logit",
+                   lambda kernel: lambda p, X, y: -_vgp.svgp_cls_elbo(
+                       kernel, p, X, y, "logit"))
 register_objective("neg_ep_energy", _ep.ep_neg_energy_objective)
 
 
 class _BaseClsModel(_BaseModel):
     """Shared classification surface over the VI engine."""
 
+    _lik = "probit"  # Bernoulli link; GPy's default
+
     def _latent(self, Xnew):
         raise NotImplementedError
 
     def log_likelihood(self) -> float:
-        return float(self._elbo_fn(self.kernel, self.params, self._X, self._y))
+        return float(self._elbo_fn(self.kernel, self.params, self._X,
+                                   self._y, self._lik))
 
     def predict(self, Xnew, include_likelihood: bool = True):
         """(P(y=1|x*) [M,1], latent var [M,1]) — GPy Bernoulli predict."""
         Xnew = jnp.asarray(Xnew, self._X.dtype)
         mean, var = self._latent(Xnew)
-        proba = _vgp.probit(mean / jnp.sqrt(1.0 + var))
+        proba = _vgp.bernoulli_predict_proba(mean, var, self._lik)
         return np.asarray(proba)[:, None], np.asarray(var)[:, None]
 
     def predictive_gradients(self, Xnew):
@@ -64,6 +75,11 @@ class _BaseClsModel(_BaseModel):
     @property
     def noise_variance(self) -> float:  # no Gaussian likelihood here
         return 0.0
+
+    def _pickle_state(self) -> dict:
+        state = super()._pickle_state()
+        state["lik"] = self._lik
+        return state
 
 
 class VGPClassificationModel(_BaseClsModel):
@@ -101,19 +117,25 @@ class VGPClassificationModel(_BaseClsModel):
 
 class SparseVGPClassificationModel(_BaseClsModel):
     """Sparse (inducing-point) variational GP binary classifier
-    (EP-DTC capability equivalent)."""
+    (EP-DTC capability equivalent).
 
-    _objective_name = "neg_svgp_cls_elbo"
+    ``likelihood`` honors the reference's sparse-classifier ctor param
+    (``classification.py:140``): None/'bernoulli'/'probit' is the GPy
+    Bernoulli-probit default; 'bernoulli_logit'/'logit' swaps the link."""
+
     _elbo_fn = staticmethod(_vgp.svgp_cls_elbo)
+
+    @property
+    def _objective_name(self) -> str:
+        return ("neg_svgp_cls_elbo" if self._lik == "probit"
+                else "neg_svgp_cls_elbo_logit")
 
     def __init__(self, X: np.ndarray, y: np.ndarray, kernel: Kernel,
                  Z: Optional[np.ndarray] = None, num_inducing: int = 10,
                  likelihood=None, mean_function=None, dtype=None,
                  seed: int = 0):
         dtype = dtype or default_dtype()
-        if likelihood is not None:
-            raise NotImplementedError(
-                "custom likelihoods beyond Bernoulli-probit are not supported")
+        self._lik = _vgp.canonical_likelihood(likelihood)
         self.kernel = kernel
         self.mean_function = mean_function
         self.normalizer = None

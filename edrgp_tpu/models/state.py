@@ -431,4 +431,6 @@ def load_model(path: str):
     obj.mean_function = state.get("mean_function")
     if state.get("classes") is not None:
         obj.classes_ = state["classes"]
+    if state.get("lik") is not None:  # classifier Bernoulli link
+        obj._lik = state["lik"]
     return obj

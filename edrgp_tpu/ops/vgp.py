@@ -30,7 +30,8 @@ from .kernels import Kernel
 from .linalg import safe_cholesky, tri_solve
 
 __all__ = ["vgp_elbo", "vgp_predict_latent", "svgp_cls_elbo",
-           "svgp_cls_predict_latent", "probit"]
+           "svgp_cls_predict_latent", "probit", "canonical_likelihood",
+           "bernoulli_predict_proba"]
 
 _GH_POINTS = 20
 _gh_x, _gh_w = np.polynomial.hermite_e.hermegauss(_GH_POINTS)
@@ -47,13 +48,57 @@ def _log_probit(z):
     return jax.scipy.stats.norm.logcdf(z)
 
 
-def _expected_log_lik(y_sign, mu, var):
-    """Σᵢ E_{N(f;μᵢ,σᵢ²)}[log Φ(yᵢ f)] via Gauss-Hermite (vectorized)."""
+def _log_sigmoid(z):
+    """Numerically stable log σ(z) = −softplus(−z)."""
+    return -jnp.logaddexp(0.0, -z)
+
+
+# Bernoulli link functions, keyed by canonical name.  ``loglik(y·f)`` is the
+# per-point log-likelihood of a ±1 label given latent f (both links satisfy
+# p(y|f) = g(y·f)); probit is GPy's Bernoulli default, logit is the custom
+# ``likelihood`` the reference's sparse classifier exposes
+# (``/root/reference/edrgp/gp_model/classification.py:140``).
+_LOG_LIKS = {"probit": _log_probit, "logit": _log_sigmoid}
+
+_LIK_ALIASES = {
+    "probit": "probit", "bernoulli": "probit", "bernoulli_probit": "probit",
+    "logit": "logit", "logistic": "logit", "bernoulli_logit": "logit",
+}
+
+
+def canonical_likelihood(name) -> str:
+    """Normalize a user-facing likelihood spec to 'probit' / 'logit'."""
+    if name is None:
+        return "probit"
+    key = str(name).lower()
+    if key not in _LIK_ALIASES:
+        raise ValueError(
+            f"unknown likelihood {name!r}; expected one of "
+            f"{sorted(_LIK_ALIASES)} (or None for the Bernoulli-probit "
+            "default)")
+    return _LIK_ALIASES[key]
+
+
+def _expected_log_lik(y_sign, mu, var, lik: str = "probit"):
+    """Σᵢ E_{N(f;μᵢ,σᵢ²)}[log g(yᵢ f)] via Gauss-Hermite (vectorized)."""
     sd = jnp.sqrt(jnp.maximum(var, 1e-12))
     # nodes: [N, Q] = μ + σ·x_q
     f = mu[:, None] + sd[:, None] * _GH_X[None, :].astype(mu.dtype)
-    ll = _log_probit(y_sign[:, None] * f)
+    ll = _LOG_LIKS[lik](y_sign[:, None] * f)
     return jnp.sum(ll @ _GH_W.astype(mu.dtype))
+
+
+@partial(jax.jit, static_argnums=2)
+def bernoulli_predict_proba(mean, var, lik: str = "probit"):
+    """P(y=1 | x*) from the latent Gaussian marginal N(mean, var).
+
+    Probit: exact integral Φ(μ/√(1+σ²)).  Logit: Gauss-Hermite quadrature
+    of E[σ(f)] (no closed form exists)."""
+    if lik == "probit":
+        return probit(mean / jnp.sqrt(1.0 + var))
+    sd = jnp.sqrt(jnp.maximum(var, 1e-12))
+    f = mean[:, None] + sd[:, None] * _GH_X[None, :].astype(mean.dtype)
+    return jax.nn.sigmoid(f) @ _GH_W.astype(mean.dtype)
 
 
 def _unpack_tril(flat, n):
@@ -82,8 +127,8 @@ def _kl_whitened(m, S):
                   - 2.0 * jnp.sum(jnp.log(jnp.abs(diag) + 1e-30)))
 
 
-@partial(jax.jit, static_argnums=0)
-def vgp_elbo(kernel: Kernel, params, X, y_sign):
+@partial(jax.jit, static_argnums=(0, 4))
+def vgp_elbo(kernel: Kernel, params, X, y_sign, lik: str = "probit"):
     """Full (non-sparse) whitened VGP classification ELBO.
 
     params: {"kernel": ..., "m": [N], "tril": [N(N+1)/2]}.
@@ -96,7 +141,8 @@ def vgp_elbo(kernel: Kernel, params, X, y_sign):
     # Marginal variances of q(f): rows of L_K S
     A = LK @ S
     var = jnp.sum(A * A, axis=1)
-    return _expected_log_lik(y_sign, mu, var) - _kl_whitened(params["m"], S)
+    return (_expected_log_lik(y_sign, mu, var, lik)
+            - _kl_whitened(params["m"], S))
 
 
 @partial(jax.jit, static_argnums=0)
@@ -114,8 +160,8 @@ def vgp_predict_latent(kernel: Kernel, params, X, Xnew):
     return mean, jnp.maximum(var, 1e-12)
 
 
-@partial(jax.jit, static_argnums=0)
-def svgp_cls_elbo(kernel: Kernel, params, X, y_sign):
+@partial(jax.jit, static_argnums=(0, 4))
+def svgp_cls_elbo(kernel: Kernel, params, X, y_sign, lik: str = "probit"):
     """Sparse whitened VGP classification ELBO (EP-DTC capability stand-in).
 
     params: {"kernel": ..., "Z": [M,Q], "m": [M], "tril": [M(M+1)/2]}.
@@ -131,7 +177,7 @@ def svgp_cls_elbo(kernel: Kernel, params, X, y_sign):
     SA = S.T @ A
     kdiag = kernel.Kdiag(params["kernel"], X)
     var = kdiag - jnp.sum(A * A, axis=0) + jnp.sum(SA * SA, axis=0)
-    return (_expected_log_lik(y_sign, mu, jnp.maximum(var, 1e-12))
+    return (_expected_log_lik(y_sign, mu, jnp.maximum(var, 1e-12), lik)
             - _kl_whitened(params["m"], S))
 
 
