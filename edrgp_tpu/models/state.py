@@ -26,6 +26,7 @@ from ..inference.lbfgs import (minimize, minimize_restarts,
                                minimize_segmented, register_objective)
 from ..ops import exact as _exact
 from ..ops import sgpr as _sgpr
+from ..ops import uncertain as _uncertain
 from ..ops.kernels import Kernel, inv_positive, positive
 
 __all__ = ["Normalizer", "ExactGPModel", "SGPRModel", "load_model"]
@@ -35,6 +36,9 @@ register_objective("exact_nlml",
                    lambda kernel: lambda p, X, y: _exact.nlml(kernel, p, X, y))
 register_objective("neg_sgpr_elbo",
                    lambda kernel: lambda p, X, y: -_sgpr.elbo(kernel, p, X, y))
+register_objective(
+    "neg_sgpr_uncertain_elbo",
+    lambda kernel: lambda p, X, y, Xvar: -_uncertain.elbo(kernel, p, X, y, Xvar))
 
 
 def _segment_budget(max_iters: int) -> int:
@@ -344,8 +348,6 @@ class SGPRModel(_BaseModel, _MeanFunctionMixin):
         dtype = dtype or default_dtype()
         self.kernel = kernel
         self.mean_function = mean_function
-        if X_variance is not None:
-            raise NotImplementedError("X_variance (uncertain inputs) is not supported")
         y = np.asarray(y).reshape(-1)
         self.normalizer = Normalizer(y, enabled=bool(normalizer))
         y_n = self._residual_targets(X, self.normalizer.normalize(y))
@@ -361,6 +363,20 @@ class SGPRModel(_BaseModel, _MeanFunctionMixin):
             "raw_noise": inv_positive(jnp.asarray(noise_var, dtype)),
             "Z": jnp.asarray(Z, dtype),
         }
+        if X_variance is None:
+            self._Xvar = None
+        else:
+            # Uncertain inputs x_n ~ N(X_n, diag(X_variance_n)): switch the
+            # objective/posterior to the psi-statistics bound (reference
+            # plumbing at regression.py:153-157). Scalars broadcast to [N,Q].
+            self._Xvar = jnp.broadcast_to(
+                jnp.asarray(X_variance, dtype), self._X.shape)
+            self._objective_name = "neg_sgpr_uncertain_elbo"
+            if not isinstance(kernel, _uncertain.RBF):  # fail fast, no trace
+                raise NotImplementedError(
+                    f"X_variance (uncertain inputs) requires an RBF kernel "
+                    f"with closed-form psi statistics; got "
+                    f"{type(kernel).__name__}")
         self._objective = float("nan")
         self._cache = None
 
@@ -368,17 +384,36 @@ class SGPRModel(_BaseModel, _MeanFunctionMixin):
     def Z(self) -> np.ndarray:
         return np.asarray(self.params["Z"])
 
+    def _fit_data(self) -> tuple:
+        if self._Xvar is None:
+            return (self._X, self._y)
+        return (self._X, self._y, self._Xvar)
+
     def _posterior(self):
         if self._cache is None:
-            self._cache = _sgpr.sgpr_posterior(self.kernel, self.params,
-                                               self._X, self._y)
+            if self._Xvar is None:
+                self._cache = _sgpr.sgpr_posterior(self.kernel, self.params,
+                                                   self._X, self._y)
+            else:
+                self._cache = _uncertain.posterior(
+                    self.kernel, self.params, self._X, self._y, self._Xvar)
         return self._cache
 
     def log_likelihood(self):
         """2-D array, matching GPy sparse models (read as ``[0][0]`` at
         ``tests/test_edr.py:50``)."""
-        val = float(_sgpr.elbo(self.kernel, self.params, self._X, self._y))
+        if self._Xvar is None:
+            val = float(_sgpr.elbo(self.kernel, self.params, self._X, self._y))
+        else:
+            val = float(_uncertain.elbo(self.kernel, self.params, self._X,
+                                        self._y, self._Xvar))
         return np.array([[val]])
+
+    def _pickle_state(self) -> dict:
+        state = super()._pickle_state()
+        if self._Xvar is not None:
+            state["X_variance"] = np.asarray(self._Xvar)
+        return state
 
     def predict(self, Xnew, include_likelihood: bool = True):
         Xnew = jnp.asarray(Xnew, self._X.dtype)
@@ -429,6 +464,11 @@ def load_model(path: str):
     obj._objective = state["objective"]
     obj._cache = None
     obj.mean_function = state.get("mean_function")
+    if cls is SGPRModel:
+        xv = state.get("X_variance")
+        obj._Xvar = None if xv is None else jnp.asarray(xv)
+        if xv is not None:
+            obj._objective_name = "neg_sgpr_uncertain_elbo"
     if state.get("classes") is not None:
         obj.classes_ = state["classes"]
     if state.get("lik") is not None:  # classifier Bernoulli link
