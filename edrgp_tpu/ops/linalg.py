@@ -16,7 +16,63 @@ from ..config import MAX_JITTER_TRIES, adjoint_precision, base_jitter
 
 __all__ = ["safe_cholesky", "cholesky_once", "cho_solve", "tri_solve",
            "logdet_from_chol", "logdet_and_quad", "add_jitter",
-           "tri_inv_blocked", "sym_square_from_tri_inv"]
+           "cholesky_blocked", "tri_inv_blocked", "sym_square_from_tri_inv"]
+
+#: Size above which value-path factorizations would route to the
+#: hand-blocked Cholesky.  Disabled (sentinel: never reached): measured on
+#: the N=10k TPU headline, :func:`cholesky_blocked` is *slower* than XLA's
+#: stock kernel (24.0 vs 22.6 ms — the wide-RHS panel triangular_solves eat
+#: what the gemm trailing updates save; see BENCH_NOTES.md anatomy table),
+#: i.e. stock cholesky is already the right choice single-chip.  The
+#: function and its tests are kept as the documented experiment and as the
+#: single-device reference for the distributed blocked factorization in
+#: ``parallel/exact_sharded.py``.
+_BLOCK_CHOL_MIN_N = 10 ** 9
+
+
+def cholesky_blocked(A: jnp.ndarray, block: int = 2048) -> jnp.ndarray:
+    """Lower Cholesky via right-looking blocked factorization.
+
+    The LAPACK ``potrf`` blocking keeps only the P diagonal-block
+    factorizations on the slow path and turns the O(N³) bulk into ONE
+    dense trailing-update gemm per panel:
+
+        L[k,k]  = chol(A[k,k])                       (stock, b×b)
+        L[i,k]  = A[i,k] · L[k,k]⁻ᵀ                  (triangular_solve, right)
+        A[i,j] -= L[i,k] · L[j,k]ᵀ  for i,j > k      (one [m,b]×[b,m] gemm)
+
+    The static Python loop unrolls (P = N/block is small).  Trailing gemms
+    run at :func:`edrgp_tpu.config.adjoint_precision` (HIGH default on TPU:
+    3-pass bf16 ≈ fp32) because factorization errors compound panel to
+    panel.  Value-path only — differentiable callers use
+    :func:`safe_cholesky` (the stock kernel has a maintained VJP).
+    """
+    prec = adjoint_precision()
+    n = A.shape[-1]
+    if n <= block:
+        return jnp.linalg.cholesky(A)
+    Ap, P = _pad_tri(A, block)  # identity corner factorizes to itself
+    b = block
+    L = jnp.zeros_like(Ap)
+    for k in range(P):
+        s, e = k * b, (k + 1) * b
+        Lkk = jnp.linalg.cholesky(Ap[s:e, s:e])
+        L = L.at[s:e, s:e].set(Lkk)
+        if k + 1 < P:
+            panel = lax.linalg.triangular_solve(
+                Lkk, Ap[e:, s:e], left_side=False, lower=True,
+                transpose_a=True)                        # A[i,k] Lkk⁻ᵀ
+            L = L.at[e:, s:e].set(panel)
+            Ap = Ap.at[e:, e:].add(
+                -jnp.matmul(panel, panel.T, precision=prec))
+    return L[:n, :n]
+
+
+def _chol_value(A: jnp.ndarray) -> jnp.ndarray:
+    """Value-path Cholesky: blocked at scale, stock below the threshold."""
+    if A.shape[-1] > _BLOCK_CHOL_MIN_N:
+        return cholesky_blocked(A)
+    return jnp.linalg.cholesky(A)
 
 
 def add_jitter(A: jnp.ndarray, jitter: jnp.ndarray | float) -> jnp.ndarray:
@@ -107,9 +163,9 @@ def cholesky_once(A: jnp.ndarray, jitter0: float | None = None) -> jnp.ndarray:
     def body(state):
         i, _ = state
         i = i + 1
-        return i, jnp.linalg.cholesky(A + jitter_at(i) * eye)
+        return i, _chol_value(A + jitter_at(i) * eye)
 
-    state0 = (jnp.asarray(0, jnp.int32), jnp.linalg.cholesky(A))
+    state0 = (jnp.asarray(0, jnp.int32), _chol_value(A))
     _, L = lax.while_loop(cond, body, state0)
     return L
 
@@ -241,15 +297,24 @@ def logdet_and_quad(Ky: jnp.ndarray, y: jnp.ndarray):
 
 
 def _ldq_fwd(Ky, y):
+    # The gradient path needs L⁻¹ anyway (to form K⁻¹ in the adjoint), so
+    # compute it up front and get α = L⁻ᵀL⁻¹y from two O(N²) gemvs — this
+    # removes both N-wide 1-RHS triangular solves (the slowest non-gemm ops
+    # at N=10k) from the value+grad program.  The gemvs run at HIGHEST
+    # precision: they are bandwidth-bound, so the extra passes are free,
+    # and α's accuracy sets the quad term's.  Value-only callers take the
+    # primal (cholesky + solve) path, not this one.
     L = cholesky_once(Ky)
-    alpha = cho_solve(L, y[:, None])[:, 0]
-    return (logdet_from_chol(L), y @ alpha), (L, alpha)
+    Linv = tri_inv_blocked(L)
+    hi = jax.lax.Precision.HIGHEST
+    alpha = jnp.matmul(Linv.T, jnp.matmul(Linv, y, precision=hi),
+                       precision=hi)
+    return (logdet_from_chol(L), y @ alpha), (Linv, alpha)
 
 
 def _ldq_bwd(res, cotangents):
-    L, alpha = res
+    Linv, alpha = res
     g_logdet, g_quad = cotangents
-    Linv = tri_inv_blocked(L)
     Kinv = sym_square_from_tri_inv(Linv)
     dK = g_logdet * Kinv - g_quad * jnp.outer(alpha, alpha)
     dy = 2.0 * g_quad * alpha

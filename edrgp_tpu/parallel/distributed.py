@@ -68,7 +68,8 @@ def assert_replicas_agree(tree, atol: float = 0.0) -> None:
     n = jax.process_count()
     if n == 1:
         return
-    gathered = jax.experimental.multihost_utils.process_allgather(local)
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(local)
     ref = np.asarray(gathered)[0]
     if not np.allclose(np.asarray(gathered), ref, atol=atol):
         raise RuntimeError(

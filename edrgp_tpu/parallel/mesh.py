@@ -15,7 +15,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-__all__ = ["make_mesh", "factor_devices", "replicated", "shard_along"]
+__all__ = ["make_mesh", "make_hybrid_mesh", "factor_devices", "replicated",
+           "shard_along"]
 
 
 def factor_devices(n: int, n_axes: int = 2) -> tuple:
@@ -55,6 +56,36 @@ def make_mesh(axis_names: Sequence[str] = ("chain", "data"),
         raise ValueError(f"mesh shape {shape} != {n} devices")
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, tuple(axis_names))
+
+
+def make_hybrid_mesh(ici_axis_names: Sequence[str] = ("chain", "data"),
+                     dcn_axis_name: str = "host",
+                     ici_shape: Optional[Sequence[int]] = None,
+                     devices=None) -> Mesh:
+    """DCN-aware mesh: a leading ``host`` axis over process granules, inner
+    axes over each process's local devices (ICI on a real pod slice).
+
+    Shardings that put heavy, latency-sensitive collectives on the inner
+    axes and only small reductions on ``host`` keep traffic on ICI and off
+    DCN — the layout recipe from the scaling playbook.  Degenerates to a
+    size-1 host axis in single-process runs, so code written against the
+    hybrid mesh runs unchanged on one host.
+    """
+    if devices is None:
+        devices = jax.devices()
+    procs = sorted({d.process_index for d in devices})
+    per_proc = [d for d in devices if d.process_index == procs[0]]
+    if any(sum(d.process_index == p for d in devices) != len(per_proc)
+           for p in procs):
+        raise ValueError("devices are not evenly spread across processes")
+    if ici_shape is None:
+        ici_shape = factor_devices(len(per_proc), len(ici_axis_names))
+    if int(np.prod(ici_shape)) != len(per_proc):
+        raise ValueError(f"ici shape {ici_shape} != {len(per_proc)} "
+                         "devices per process")
+    by_proc = [[d for d in devices if d.process_index == p] for p in procs]
+    dev_array = np.asarray(by_proc).reshape((len(procs),) + tuple(ici_shape))
+    return Mesh(dev_array, (dcn_axis_name,) + tuple(ici_axis_names))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -38,7 +38,8 @@ __all__ = ["make_sharded_svgp_step", "run_sharded_nuts",
 
 
 def make_sharded_svgp_step(kernel: Kernel, mesh: Mesh, n_total: int,
-                           lr: float = 3e-3, data_axis: str = "data"):
+                           lr: float = 3e-3,
+                           data_axis: str | tuple = "data"):
     """Build a jitted data-parallel SVGP step.
 
     Returned ``step(params, qstate, opt_state, Xb, yb, rho)`` expects the
@@ -46,10 +47,18 @@ def make_sharded_svgp_step(kernel: Kernel, mesh: Mesh, n_total: int,
     params/qstate replicated; it performs one Adam step on the
     hyperparameters and one natural-gradient step on q(u), with all
     cross-shard reductions as explicit ``psum``s inside ``shard_map``.
+
+    ``data_axis`` may be a tuple of mesh axes (e.g. ``("host", "data")``
+    on a hybrid DCN×ICI mesh): the batch dim is then sharded over their
+    product and every reduction psums over both — the DCN axis rides the
+    slower interconnect, which is fine for these O(M)/O(M²) payloads.
     """
     opt = optax.adam(lr)
-    n_shards = mesh.shape[data_axis]
-    other_axes = tuple(a for a in mesh.axis_names if a != data_axis)
+    axes = (data_axis,) if isinstance(data_axis, str) else tuple(data_axis)
+    n_shards = 1
+    for a in axes:
+        n_shards *= mesh.shape[a]
+    data_axis = axes if len(axes) > 1 else axes[0]
 
     def local_step(params, qstate, opt_state, Xb, yb, rho):
         B_local = Xb.shape[0]

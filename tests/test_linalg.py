@@ -78,3 +78,43 @@ def test_logdet_and_quad_grad_matches_autodiff():
     g1 = jax.grad(f_custom)(K)
     g2 = jax.grad(f_ref)(K)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-10)
+
+
+@pytest.mark.parametrize("n", [100, 513, 1030])
+def test_cholesky_blocked_matches_stock(n):
+    K, L = _chol(n, seed=11)
+    Lb = linalg.cholesky_blocked(K, block=256)
+    np.testing.assert_allclose(np.asarray(Lb), np.asarray(L), atol=1e-9)
+    assert np.all(np.triu(np.asarray(Lb), 1) == 0)
+
+
+def test_cholesky_blocked_jitter_via_cholesky_once(monkeypatch):
+    # Force the blocked path inside cholesky_once's jitter cascade and
+    # check it still escalates on a rank-deficient matrix.
+    monkeypatch.setattr(linalg, "_BLOCK_CHOL_MIN_N", 32)
+    K = jnp.ones((100, 100))
+    L = linalg.cholesky_once(K)
+    assert bool(jnp.all(jnp.isfinite(L)))
+    assert float(jnp.abs(L @ L.T - K).max()) < 1e-3
+
+
+def test_value_and_grad_path_large_uses_blocked(monkeypatch):
+    # End-to-end: with the blocked threshold lowered, logdet_and_quad's
+    # value+grad still matches the autodiff reference.
+    monkeypatch.setattr(linalg, "_BLOCK_CHOL_MIN_N", 64)
+    K, _ = _chol(300, seed=13)
+    y = jnp.asarray(np.random.default_rng(13).normal(size=300))
+
+    def f_custom(Km):
+        ld, q = linalg.logdet_and_quad(Km, y)
+        return 0.7 * ld + 1.3 * q
+
+    def f_ref(Km):
+        L = jnp.linalg.cholesky(Km)
+        al = jax.scipy.linalg.cho_solve((L, True), y)
+        return 0.7 * 2.0 * jnp.sum(jnp.log(jnp.diag(L))) + 1.3 * (y @ al)
+
+    v1, g1 = jax.value_and_grad(f_custom)(K)
+    v2, g2 = jax.value_and_grad(f_ref)(K)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-9)
