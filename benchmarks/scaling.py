@@ -17,9 +17,13 @@ Usage:  python benchmarks/scaling.py [--chains-per-device 8]
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
@@ -29,9 +33,20 @@ def main():
     ap.add_argument("--num-samples", type=int, default=100)
     ap.add_argument("--svgp-steps", type=int, default=50)
     ap.add_argument("--batch-per-device", type=int, default=1024)
+    ap.add_argument("--cpu-devices", type=int, default=0,
+                    help="force the CPU backend with this many virtual "
+                         "devices (this box's sitecustomize overrides the "
+                         "JAX_PLATFORMS env var, so it must happen in-process)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu_devices:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+    import os
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
     import jax.numpy as jnp
     from edrgp_tpu.ops import svgp as _svgp
     from edrgp_tpu.ops.kernels import RBF, inv_positive
