@@ -97,11 +97,10 @@ def register_objective(name: str, factory: Callable) -> None:
 from functools import lru_cache
 
 
-@lru_cache(maxsize=None)
-def _segment_runners(objective: str, kernel, max_iters: int, tol: float,
-                     memory_size: int, segment_iters: int, n_data: int):
-    opt = optax.lbfgs(memory_size=memory_size)
-    raw = _OBJECTIVES[objective](kernel)
+def _make_segment(raw: Callable, opt, max_iters: int, tol: float,
+                  segment_iters: int) -> Callable:
+    """Build the bounded-iteration L-BFGS segment body for
+    ``raw(params, *data) -> scalar``."""
 
     def seg(params, state, *data):
         fun = _guard(lambda p: raw(p, *data))
@@ -128,6 +127,15 @@ def _segment_runners(objective: str, kernel, max_iters: int, tol: float,
         err = otu.tree_norm(otu.tree_get(state, "grad"))
         return params, state, count, err, fun(params)
 
+    return seg
+
+
+@lru_cache(maxsize=None)
+def _segment_runners(objective: str, kernel, max_iters: int, tol: float,
+                     memory_size: int, segment_iters: int, n_data: int):
+    opt = optax.lbfgs(memory_size=memory_size)
+    raw = _OBJECTIVES[objective](kernel)
+    seg = _make_segment(raw, opt, max_iters, tol, segment_iters)
     single = jax.jit(seg)
     batched = jax.jit(jax.vmap(seg, in_axes=(0, 0) + (None,) * n_data))
     return opt, single, batched
@@ -141,6 +149,33 @@ def minimize_segmented(objective: str, kernel, init_params, data: tuple, *,
     opt, single, _ = _segment_runners(objective, kernel, int(max_iters),
                                       float(tol), int(memory_size),
                                       int(segment_iters), len(data))
+    params, state = init_params, opt.init(init_params)
+    while True:
+        params, state, count, err, value = single(params, state, *data)
+        c, e = int(count), float(err)
+        if c >= max_iters or (c > 0 and e < tol) or not jnp.isfinite(e):
+            break
+    return LBFGSResult(params=params, value=value, grad_norm=err,
+                       num_iters=count)
+
+
+def minimize_segmented_fn(fun: Callable, init_params, data: tuple = (), *,
+                          max_iters: int = 1000, tol: float = 1e-6,
+                          memory_size: int = 30,
+                          segment_iters: int = 10) -> LBFGSResult:
+    """Segmented L-BFGS over an arbitrary ``fun(params, *data) -> scalar``.
+
+    Like :func:`minimize_segmented` but without the objective registry —
+    used by the distributed fit path, whose objective closes over a
+    ``jax.sharding.Mesh`` and receives already-sharded data arrays (the
+    sharding propagates through the jitted segment, so the whole L-BFGS
+    step — line search included — runs as one SPMD program per segment).
+    The jitted segment is built per call; the persistent compile cache
+    absorbs repeats.
+    """
+    opt = optax.lbfgs(memory_size=memory_size)
+    single = jax.jit(_make_segment(fun, opt, int(max_iters), float(tol),
+                                   int(segment_iters)))
     params, state = init_params, opt.init(init_params)
     while True:
         params, state, count, err, value = single(params, state, *data)

@@ -35,7 +35,7 @@ from jax.flatten_util import ravel_pytree
 from .hmc import (AdaptState, HMCState, _finalize_mass, init_state,
                   window_adaptation_init, window_adaptation_update)
 
-__all__ = ["nuts_step", "run_nuts", "run_nuts_pytree"]
+__all__ = ["nuts_step", "run_nuts", "run_nuts_pytree", "run_nuts_segmented"]
 
 _DIVERGENCE_THRESHOLD = 1000.0
 
@@ -294,3 +294,142 @@ def run_nuts_pytree(logprob_fn: Callable, init_params, key, **kw):
 
     qs, info = run_nuts(flat_logprob, flat0, key, **kw)
     return jax.vmap(unravel)(qs), info
+
+
+# --------------------------------------------------------------------------
+# Segmented execution: bounded device programs + host continuation loop.
+#
+# run_nuts compiles the whole warmup+sampling run into ONE XLA program; on
+# runtimes that cap single-execution wall time (this machine's TPU worker
+# kills executions past ~1 minute) that program is unrunnable at benchmark
+# scale.  The segmented driver is the lbfgs.minimize_segmented pattern
+# applied to MCMC: each device program advances every chain by
+# ``segment_len`` NUTS transitions and the host loop stitches segments
+# together, carrying (chain states, adaptation state, RNG key).  Window-
+# adaptation finalization happens at the same two warmup boundaries as
+# run_nuts, so for a given key schedule the algorithm is identical — only
+# the program partitioning differs.
+# --------------------------------------------------------------------------
+
+
+def _nuts_chain_step(logprob_fn, max_depth, target_accept, pool_axis):
+    """One warmup transition for one chain (vmap outside)."""
+
+    def warm(state, adapt, key):
+        eps = jnp.exp(adapt.log_eps)
+        state, info = nuts_step(logprob_fn, state, key, eps, adapt.inv_mass,
+                                max_depth)
+        adapt = window_adaptation_update(adapt, state.q, info["accept_stat"],
+                                         target_accept, pool_axis)
+        return state, adapt, info
+
+    return warm
+
+
+def _make_nuts_segments(logprob_fn, max_depth, target_accept, pool_eps):
+    """Jitted (warm_segment, sample_segment) with static segment length."""
+    pool_axis = "chains" if pool_eps else None
+
+    def warm_segment(states, adapts, key, seg_len):
+        warm = _nuts_chain_step(logprob_fn, max_depth, target_accept,
+                                pool_axis)
+
+        def step(carry, k):
+            states, adapts = carry
+            keys = jax.random.split(k, states.q.shape[0])
+            states, adapts, _ = jax.vmap(warm, axis_name="chains")(
+                states, adapts, keys)
+            return (states, adapts), None
+
+        key, sub = jax.random.split(key)
+        (states, adapts), _ = lax.scan(step, (states, adapts),
+                                       jax.random.split(sub, seg_len))
+        return states, adapts, key
+
+    def sample_segment(states, eps, inv_mass, key, seg_len):
+        def one(state, key, eps_c, inv_mass_c):
+            return nuts_step(logprob_fn, state, key, eps_c, inv_mass_c,
+                             max_depth)
+
+        def step(states, k):
+            keys = jax.random.split(k, states.q.shape[0])
+            states, info = jax.vmap(one)(states, keys, eps, inv_mass)
+            return states, (states.q, info["accept_stat"], info["diverged"],
+                            info["n_leaves"])
+
+        key, sub = jax.random.split(key)
+        states, out = lax.scan(step, states, jax.random.split(sub, seg_len))
+        return states, out, key
+
+    return (jax.jit(warm_segment, static_argnums=3),
+            jax.jit(sample_segment, static_argnums=4))
+
+
+def _chunks(total: int, seg: int):
+    out = [seg] * (total // seg)
+    if total % seg:
+        out.append(total % seg)
+    return out
+
+
+def run_nuts_segmented(logprob_fn: Callable, q0: jnp.ndarray, key, *,
+                       num_warmup: int = 500, num_samples: int = 500,
+                       max_depth: int = 8, target_accept: float = 0.8,
+                       segment_len: int = 32, pool_eps: bool = False,
+                       on_segment: Callable | None = None):
+    """Multi-chain NUTS as a sequence of bounded device programs.
+
+    ``q0`` is a [C, D] batch of chain starts; all C chains advance inside
+    each device program (vmapped), and no single XLA execution runs more
+    than ``segment_len`` transitions.  ``pool_eps=True`` pools the dual-
+    averaging acceptance statistic across chains (one shared ε).
+    ``on_segment(phase, done, total)`` is called after each segment (host-
+    side progress hook).  Returns (samples [C, num_samples, D], info) with
+    the same info fields as :func:`run_nuts`.
+    """
+    import numpy as np
+
+    warm_seg, sample_seg = _make_nuts_segments(
+        logprob_fn, max_depth, target_accept, pool_eps)
+
+    states = jax.vmap(lambda q: init_state(logprob_fn, q))(q0)
+    adapts = jax.vmap(window_adaptation_init)(q0)
+    half = num_warmup // 2
+
+    for phase, length in (("warmup1", half), ("warmup2", num_warmup - half)):
+        done = 0
+        for seg in _chunks(length, segment_len):
+            states, adapts, key = warm_seg(states, adapts, key, seg)
+            jax.block_until_ready(states.q)
+            done += seg
+            if on_segment is not None:
+                on_segment(phase, done, length)
+        adapts = jax.vmap(_finalize_mass)(adapts)
+
+    eps = jnp.exp(adapts.log_eps_avg)
+    inv_mass = adapts.inv_mass
+
+    qs_parts, acc_parts, div_parts, leaf_parts = [], [], [], []
+    done = 0
+    for seg in _chunks(num_samples, segment_len):
+        states, (qs, accs, divs, leaves), key = sample_seg(
+            states, eps, inv_mass, key, seg)
+        jax.block_until_ready(qs)
+        # [seg, C, ...] -> host; transpose to chain-major at the end
+        qs_parts.append(np.asarray(qs))
+        acc_parts.append(np.asarray(accs))
+        div_parts.append(np.asarray(divs))
+        leaf_parts.append(np.asarray(leaves))
+        done += seg
+        if on_segment is not None:
+            on_segment("sample", done, num_samples)
+
+    qs = np.concatenate(qs_parts, axis=0).swapaxes(0, 1)     # [C, S, D]
+    accs = np.concatenate(acc_parts, axis=0)
+    divs = np.concatenate(div_parts, axis=0)
+    leaves = np.concatenate(leaf_parts, axis=0)
+    return qs, {"accept_rate": float(accs.mean()),
+                "divergences": int(divs.sum()),
+                "step_size": np.asarray(eps),
+                "mean_leapfrogs": float(leaves.mean()),
+                "inv_mass": np.asarray(inv_mass)}

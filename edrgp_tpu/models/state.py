@@ -282,6 +282,47 @@ class ExactGPModel(_BaseModel, _MeanFunctionMixin):
         self._objective = float("nan")
         self._cache = None
 
+    # --- distributed fitting (kernel-block-parallel, SURVEY.md §2.3) ------
+    def optimize_sharded(self, mesh=None, axis: str = "data",
+                         messages: bool = False, max_iters: int = 1000,
+                         tol: float | None = None, **_ignored):
+        """ML-II with the N×N system row-slab-sharded over ``mesh``.
+
+        Runs the segmented L-BFGS driver over the distributed NLML
+        value+gradient (:mod:`edrgp_tpu.parallel.exact_sharded`): per-device
+        working set is O(N²/p), so N beyond one device's memory share
+        becomes fittable.  ``mesh=None`` builds a 1-axis mesh over all
+        local devices.  N must be divisible by the axis size.
+        Reachable from the estimator layer as
+        ``GaussianProcessRegressor(method="optimize_sharded")``.
+        """
+        from jax.sharding import Mesh
+        from ..inference.lbfgs import minimize_segmented_fn
+        from ..parallel.exact_sharded import (make_sharded_nlml_objective,
+                                              shard_rows)
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), (axis,))
+        p = mesh.shape[axis]
+        n = self._X.shape[0]
+        if n % p:
+            raise ValueError(f"N={n} must be divisible by the '{axis}' "
+                             f"axis size {p}")
+        tol = self._default_tol() if tol is None else tol
+        Xs, ys = shard_rows(mesh, axis, self._X, self._y)
+        fun = make_sharded_nlml_objective(self.kernel, mesh, axis)
+        res = minimize_segmented_fn(
+            fun, self.params, (Xs, ys), max_iters=int(max_iters),
+            tol=float(tol), segment_iters=_segment_budget(max_iters))
+        self.params = jax.tree_util.tree_map(jnp.asarray, res.params)
+        self._objective = float(res.value)
+        self._cache = None
+        if messages:
+            print(f"{type(self).__name__}: sharded({p}x {axis}) "
+                  f"objective={self._objective:.6f} "
+                  f"iters={int(res.num_iters)} "
+                  f"|g|={float(res.grad_norm):.3e}")
+        return self
+
     # --- posterior --------------------------------------------------------
     def _posterior(self):
         if self._cache is None:

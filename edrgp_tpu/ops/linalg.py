@@ -204,7 +204,8 @@ def _pad_tri(L: jnp.ndarray, block: int):
     return Lp, n_blocks
 
 
-def tri_inv_blocked(L: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
+def tri_inv_blocked(L: jnp.ndarray, block: int = 1024,
+                    precision=None) -> jnp.ndarray:
     """L⁻¹ for lower-triangular L via blocked forward substitution.
 
     XLA's TPU ``triangular_solve`` with a matrix-wide RHS runs well below
@@ -221,7 +222,7 @@ def tri_inv_blocked(L: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
     :func:`edrgp_tpu.config.adjoint_precision` (HIGH by default: 3-pass
     bf16 ≈ fp32 accuracy on TPU) rather than the single-pass default.
     """
-    prec = adjoint_precision()
+    prec = adjoint_precision() if precision is None else precision
     n = L.shape[-1]
     if n <= block:
         return tri_solve(L, jnp.eye(n, dtype=L.dtype), lower=True)
@@ -250,7 +251,8 @@ def tri_inv_blocked(L: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
     return jnp.concatenate(rows, axis=0)[:n, :n]
 
 
-def sym_square_from_tri_inv(Linv: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
+def sym_square_from_tri_inv(Linv: jnp.ndarray, block: int = 1024,
+                            precision=None) -> jnp.ndarray:
     """Linvᵀ · Linv for lower-triangular Linv, exploiting both structures.
 
     (LinvᵀLinv)[i,j] only sums over rows k ≥ max(i,j), and the result is
@@ -258,7 +260,7 @@ def sym_square_from_tri_inv(Linv: jnp.ndarray, block: int = 1024) -> jnp.ndarray
     matmul per block pair over the contiguous row range [j·b, N) and mirror.
     ~N³/3 flops vs N³ for the dense gemm (LAPACK ``lauum`` blocking).
     """
-    prec = adjoint_precision()
+    prec = adjoint_precision() if precision is None else precision
     n = Linv.shape[-1]
     if n <= block:
         return jnp.matmul(Linv.T, Linv, precision=prec)

@@ -56,7 +56,7 @@ from ..config import adjoint_precision
 from ..ops.kernels import Kernel, positive
 
 __all__ = ["make_sharded_nlml_value_and_grad", "sharded_nlml_value_and_grad",
-           "shard_rows"]
+           "make_sharded_nlml_objective", "shard_rows"]
 
 
 
@@ -275,6 +275,38 @@ def make_sharded_nlml_value_and_grad(kernel: Kernel, mesh: Mesh,
                        out_specs=(P(), P()),
                        check_vma=False)
     return jax.jit(fn)
+
+
+def make_sharded_nlml_objective(kernel: Kernel, mesh: Mesh,
+                                axis: str = "data") -> Callable:
+    """Scalar NLML objective ``fun(params, X_sharded, y_sharded)`` whose
+    reverse-mode gradient routes through the distributed trace-form adjoint.
+
+    This is the optimizer-facing wrapper that makes the sharded exact GP
+    *fittable* (not just differentiable): the custom VJP hands L-BFGS the
+    psum-reduced parameter gradient from
+    :func:`make_sharded_nlml_value_and_grad`, so the whole optimization
+    loop — line search included — compiles to one SPMD program over
+    ``mesh``.  Cotangents w.r.t. the data arrays are zero (hyperparameter
+    optimization never differentiates w.r.t. X or y).
+    """
+    vgfn = make_sharded_nlml_value_and_grad(kernel, mesh, axis)
+
+    @jax.custom_vjp
+    def fun(params, Xs, ys):
+        return vgfn(params, Xs, ys)[0]
+
+    def fwd(params, Xs, ys):
+        value, grads = vgfn(params, Xs, ys)
+        return value, (grads, Xs, ys)
+
+    def bwd(res, ct):
+        grads, Xs, ys = res
+        return (jax.tree_util.tree_map(lambda g: ct * g, grads),
+                jnp.zeros_like(Xs), jnp.zeros_like(ys))
+
+    fun.defvjp(fwd, bwd)
+    return fun
 
 
 def shard_rows(mesh: Mesh, axis: str, X, y):

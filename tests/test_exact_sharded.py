@@ -76,3 +76,51 @@ def test_sharded_gradient_drives_descent():
     assert float(val1) < float(val0)
     np.testing.assert_allclose(
         float(val1), float(_exact.nlml(kernel, stepped, X, y)), rtol=1e-10)
+
+
+def test_sharded_fit_reaches_single_device_optimum():
+    """The distributed fit path (segmented L-BFGS over the sharded NLML,
+    VERDICT r2 item 5) converges to the same optimum as the single-device
+    optimize() on the 8-device mesh."""
+    from edrgp_tpu.models.state import ExactGPModel
+    from edrgp_tpu.ops.kernels import RBF
+
+    Q = 3
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(256, Q))
+    f = np.sin(1.5 * X[:, 0]) + 0.5 * X[:, 1]
+    y = f + 0.1 * rng.normal(size=256)
+
+    mesh = make_mesh(("data",), devices=jax.devices()[:8])
+    m_sharded = ExactGPModel(X, y, RBF(Q, ARD=True))
+    m_sharded.optimize_sharded(mesh=mesh, max_iters=200)
+
+    m_single = ExactGPModel(X, y, RBF(Q, ARD=True))
+    m_single.optimize(max_iters=200)
+
+    ll_s, ll_1 = m_sharded.log_likelihood(), m_single.log_likelihood()
+    np.testing.assert_allclose(ll_s, ll_1, rtol=1e-5)
+    # posterior predictions agree (the fits found the same model)
+    Xt = rng.normal(size=(64, Q))
+    np.testing.assert_allclose(m_sharded.predict(Xt)[0],
+                               m_single.predict(Xt)[0], rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_fit_via_estimator_method():
+    """GaussianProcessRegressor(method='optimize_sharded') routes fit
+    through the distributed path (reference method dispatch at
+    gp_model/base.py:69)."""
+    from edrgp_tpu.models.regression import GaussianProcessRegressor
+
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(128, 2))
+    y = np.tanh(X[:, 0]) + 0.05 * rng.normal(size=128)
+
+    mesh = make_mesh(("data",), devices=jax.devices()[:8])
+    est = GaussianProcessRegressor(kernel_options={"ARD": True},
+                                   method="optimize_sharded")
+    est.fit(X, y, mesh=mesh, max_iters=150)
+    pred = est.predict(X)
+    assert np.sqrt(np.mean((pred - y) ** 2)) < 0.2
+    grads = est.predict_gradient(X)
+    assert grads.shape == (128, 2)

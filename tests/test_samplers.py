@@ -147,3 +147,37 @@ def test_nuts_gp_hyperparameter_posterior():
     from edrgp_tpu.inference.lbfgs import minimize
     res = minimize(lambda p: exact.nlml(k, p, X, y), p0, max_iters=300)
     assert post_mean_nlml < float(res.value) + 5.0
+
+
+def test_nuts_segmented_moments():
+    """Segmented driver (bounded device programs + host continuation)
+    recovers the same posterior as the monolithic run_nuts, with segment
+    boundaries that do NOT align with the warmup windows (remainder
+    segments exercised)."""
+    from edrgp_tpu.inference.nuts import run_nuts_segmented
+
+    q0 = jnp.zeros((4, 2))
+    qs, info = run_nuts_segmented(gauss_logprob, q0, jax.random.PRNGKey(7),
+                                  num_warmup=300, num_samples=700,
+                                  max_depth=8, segment_len=64)
+    assert qs.shape == (4, 700, 2)
+    assert info["divergences"] == 0
+    assert float(info["mean_leapfrogs"]) > 2.0
+    pooled = qs.reshape(-1, 2)
+    np.testing.assert_allclose(pooled.mean(0), np.asarray(MU), atol=0.15)
+    np.testing.assert_allclose(np.cov(pooled.T), np.asarray(SIGMA), atol=0.6)
+
+
+def test_nuts_segmented_pooled_eps():
+    """pool_eps shares one dual-averaging ε across chains."""
+    from edrgp_tpu.inference.nuts import run_nuts_segmented
+
+    q0 = jnp.tile(jnp.asarray([[0.5, -1.0]]), (3, 1))
+    qs, info = run_nuts_segmented(gauss_logprob, q0, jax.random.PRNGKey(8),
+                                  num_warmup=200, num_samples=200,
+                                  segment_len=50, pool_eps=True)
+    eps = np.asarray(info["step_size"])
+    assert eps.shape == (3,)
+    np.testing.assert_allclose(eps, eps[0], rtol=1e-6)
+    pooled = qs.reshape(-1, 2)
+    np.testing.assert_allclose(pooled.mean(0), np.asarray(MU), atol=0.25)
