@@ -27,11 +27,13 @@ import numpy as np
 
 #: NumPy/LAPACK NLML value+gradient evals/s at N=10k (trace-form gradient,
 #: the reference engine's algorithm), PINNED.  Provenance: median of 5 runs
-#: of ``python bench.py --measure-baseline`` on this host (2-core, otherwise
-#: idle, 2026-08-20, numpy 2.x/OpenBLAS): measured at N=2500 and scaled by
-#: the O(N^3) Cholesky/inverse/trace term to N=10k — optimistic for the
-#: CPU, since the O(N^2 Q) kernel term scales slower than N^3.
-CPU_BASELINE_EVALS_PER_S = 2.29e-3
+#: of ``python bench.py --measure-baseline`` on this host, 2026-08-20,
+#: otherwise idle (runs: [2.54e-3, 4.55e-3, 4.55e-3, 4.60e-3, 4.83e-3];
+#: the previous scheme re-measured this on a loaded host every bench run
+#: and swung vs_baseline by ±40%).  Measured at N=2500 and scaled by the
+#: O(N^3) Cholesky/inverse/trace term to N=10k — optimistic for the CPU,
+#: since the O(N^2 Q) kernel term scales slower than N^3.
+CPU_BASELINE_EVALS_PER_S = 4.55e-3
 
 
 def tpu_evals_per_s(N=10_000, Q=8, iters=10, blocks=5):

@@ -46,10 +46,10 @@ def main():
     ap.add_argument("--n", type=int, default=1024)
     ap.add_argument("--q", type=int, default=4)
     ap.add_argument("--chains", type=int, default=16)
-    ap.add_argument("--warmup", type=int, default=128)
+    ap.add_argument("--warmup", type=int, default=256)
     ap.add_argument("--samples", type=int, default=128)
-    ap.add_argument("--max-depth", type=int, default=6)
-    ap.add_argument("--segment", type=int, default=16)
+    ap.add_argument("--max-depth", type=int, default=8)
+    ap.add_argument("--segment", type=int, default=8)
     args = ap.parse_args()
 
     dt = jnp.float32
@@ -70,9 +70,22 @@ def main():
         return (-exact.nlml(kernel, params, X, y)
                 - 0.5 * jnp.sum((qflat / prior_scale) ** 2))
 
+    # Start chains near the posterior mode (cheap segmented ML-II fit —
+    # the first run at default init showed warmup cannot both find the
+    # mode and adapt the mass matrix in 128 transitions: R-hat 112).
+    from edrgp_tpu.inference.lbfgs import minimize_segmented
+    import edrgp_tpu.models.state  # noqa: F401 — registers "exact_nlml"
+    t0 = time.perf_counter()
+    res = minimize_segmented("exact_nlml", kernel, p0, (X, y),
+                             max_iters=200, tol=3e-4, segment_iters=25)
+    flat_hat, _ = ravel_pytree(res.params)
+    print(json.dumps({"progress": "ml2_mode", "nlml": float(res.value),
+                      "wall_s": round(time.perf_counter() - t0, 1)}),
+          flush=True)
+
     C = args.chains
-    q0 = jnp.tile(flat0[None], (C, 1)) + 0.05 * jax.random.normal(
-        jax.random.PRNGKey(1), (C, flat0.shape[0]), dt)
+    q0 = jnp.tile(flat_hat[None], (C, 1)) + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(1), (C, flat_hat.shape[0]), dt)
 
     # per-segment wall clocks, stamped by the host continuation loop
     marks = {"t_last": time.perf_counter(), "warm": [], "sample": []}

@@ -1,0 +1,218 @@
+"""Posterior/subspace parity vs the reference's PUBLISHED notebook outputs.
+
+BASELINE.json's north star asks for "the reference's posteriors and
+recovered EDR subspaces (principal-angle agreement) within Monte-Carlo
+error on its example notebooks".  The reference notebooks commit these
+numbers (the only quality numbers the reference publishes anywhere):
+
+  * regression.ipynb cells 7/10: PCA MI 0.000 nats, EDR MI 2.200 nats
+  * BriefIntro.ipynb cell 29: one-shot EDR discrepancy 0.135
+  * BriefIntro.ipynb cell 30: iterative EDR (step=1) discrepancy 0.056
+  * BriefIntro.ipynb cell 34: sparse-projector EDR discrepancy 0.061
+  * chain_PCA-EDRGP.ipynb cells 18/21: MI raw/preprocessed
+    2.386 / 2.389 (correlated inputs) and 2.320 / 1.228 (uncorrelated)
+
+The notebooks fixed a legacy ``np.random.seed`` stream we cannot (and
+should not) bit-replay, so each workload runs over SEEDS independent
+seeds and reports mean/std/min/max alongside the published value; parity
+holds when the published number lies inside the Monte-Carlo band (or the
+native result is strictly better).  Principal angles between recovered
+and true subspaces are recorded where ground truth exists.
+
+Runs on CPU in float64 (the reference's numerics).  Writes
+results/PARITY_RUNS.json and prints one JSON line per workload.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import scipy.sparse
+from sklearn.decomposition import PCA, SparsePCA
+from sklearn.feature_selection import mutual_info_regression
+
+from edrgp_tpu import EffectiveDimensionalityReduction, SVDTransformer
+from edrgp_tpu.datasets import (get_beta_inputs, get_edr_target,
+                                get_gaussian_inputs, get_tanh_targets)
+from edrgp_tpu.models import GaussianProcessRegressor
+from edrgp_tpu.utils import discrepancy
+
+SEEDS = [0, 1, 2, 3, 4]
+RESULTS = []
+
+
+def principal_angles_deg(A, B):
+    """Principal angles (degrees) between the column spaces of A and B."""
+    Qa = np.linalg.qr(A)[0]
+    Qb = np.linalg.qr(B)[0]
+    s = np.clip(np.linalg.svd(Qa.T @ Qb, compute_uv=False), -1, 1)
+    return np.degrees(np.arccos(s))
+
+
+def record(workload, published, runs, better_is="lower", extra=None):
+    runs = [float(r) for r in runs]
+    mean, std = float(np.mean(runs)), float(np.std(runs))
+    lo, hi = float(min(runs)), float(max(runs))
+    if better_is == "lower":
+        ok = (published >= lo - 2 * std) or (mean <= published)
+    else:
+        ok = (published <= hi + 2 * std) or (mean >= published)
+    rec = {"workload": workload, "published_reference": published,
+           "native_mean": round(mean, 4), "native_std": round(std, 4),
+           "native_min": round(lo, 4), "native_max": round(hi, 4),
+           "seeds": len(runs), "better_is": better_is, "parity": bool(ok)}
+    if extra:
+        rec.update(extra)
+    RESULTS.append(rec)
+    print(json.dumps(rec), flush=True)
+
+
+def gpr_ard():
+    return GaussianProcessRegressor(["RBF"], [{"ARD": True}])
+
+
+def run_regression_example():
+    """regression.ipynb: 2-D correlated Gaussians, tanh ridge target.
+    Reference source: /root/reference/examples/regression.py:151-167."""
+    mi_pca, mi_edr = [], []
+    for seed in SEEDS:
+        rng = np.random.default_rng(seed)
+        X = get_gaussian_inputs(eig_values=[1, 0.3], sample_size=500,
+                                eig_vectors=np.array([[1, 1], [-1, 1]]),
+                                rng=rng)
+        X -= X.mean(0)
+        y = get_tanh_targets(X, [0.5, 0.5], rng=rng)
+        pca = PCA(n_components=1).fit(X)
+        mi_pca.append(mutual_info_regression(
+            pca.transform(X), y, random_state=0)[0])
+        edr = EffectiveDimensionalityReduction(
+            GaussianProcessRegressor(), PCA(n_components=1), n_components=1)
+        edr.fit(X, y)
+        mi_edr.append(mutual_info_regression(
+            edr.transform(X), y, random_state=0)[0])
+    record("regression_example_pca_mi", 0.000, mi_pca, better_is="lower")
+    record("regression_example_edr_mi", 2.200, mi_edr, better_is="higher")
+
+
+def _brief_intro_data(seed):
+    rng = np.random.default_rng(seed)
+    X = get_beta_inputs(200, 10, rng=rng)
+    B = np.linalg.qr(rng.normal(size=(10, 2)))[0]
+    y = get_edr_target(X @ B, sigma=0.1, rng=rng)
+    return X, y, B
+
+
+def run_brief_intro():
+    """BriefIntro.ipynb cells 42-62: 10-D beta inputs, 2-D EDR target.
+    Reference: np.random.seed(3); X=get_beta_inputs(200,10);
+    B=qr(normal(10,2))[0]; y=get_edr_target(X.dot(B), sigma=0.1)."""
+    one_shot, iterative, angles = [], [], []
+    for seed in SEEDS:
+        X, y, B = _brief_intro_data(seed)
+        edr = EffectiveDimensionalityReduction(
+            gpr_ard(), SVDTransformer(), normalize=False)
+        edr.fit(X, y)
+        one_shot.append(discrepancy(B, edr.components_.T[:, :2]))
+
+        edr_it = EffectiveDimensionalityReduction(
+            gpr_ard(), SVDTransformer(), n_components=2, step=1,
+            normalize=False)
+        edr_it.fit(X, y)
+        iterative.append(discrepancy(B, edr_it.components_.T))
+        angles.append(principal_angles_deg(B, edr_it.components_.T).max())
+    record("brief_intro_edr_discrepancy", 0.135, one_shot,
+           extra={"max_principal_angle_deg_iterative":
+                  round(float(np.mean(angles)), 2)})
+    record("brief_intro_iterative_discrepancy", 0.056, iterative)
+
+
+def run_brief_intro_sparse():
+    """BriefIntro.ipynb cells 60-69: sparse projector + SparsePCA refit.
+    B_sparse is the notebook's exact matrix (scipy RandomState(11))."""
+    B_sparse = np.linalg.qr(
+        scipy.sparse.random(10, 2, density=0.2, random_state=11).toarray())[0]
+    discs, refit_nnz, refit_var = [], [], []
+    for seed in SEEDS:
+        rng = np.random.default_rng(seed)
+        X = get_beta_inputs(200, 10, rng=rng)
+        y = get_edr_target(X @ B_sparse, sigma=0.1, rng=rng)
+        edr = EffectiveDimensionalityReduction(
+            gpr_ard(), SVDTransformer(), normalize=False)
+        edr.fit(X, y)
+        discs.append(discrepancy(B_sparse, edr.components_.T[:, :2]))
+        edr.refit(SparsePCA(n_components=2, alpha=2, random_state=0))
+        refit_nnz.append(int((np.abs(edr.refit_components_) > 1e-9).sum()))
+        refit_var.append(float(np.sum(edr.refit_subspace_variance_ratio_)))
+    record("brief_intro_sparse_discrepancy", 0.061, discs,
+           extra={"refit_sparsepca_alpha2_nonzeros_mean":
+                  round(float(np.mean(refit_nnz)), 1),
+                  "refit_subspace_variance_mean":
+                  round(float(np.mean(refit_var)), 4)})
+
+
+def run_chain_pca():
+    """chain_PCA-EDRGP.ipynb cells 9-21: PCA preprocessor before EDR on
+    correlated vs uncorrelated 3-D Gaussian inputs."""
+    from scipy.linalg import eigh
+    cov_corr = np.array([[1, 0.9, 0.01], [0.9, 1, -0.1], [0.01, -0.1, 1]])
+    cov_raw = np.array([[1, 0.07, 0.03], [0.07, 1, -0.1], [0.03, -0.1, 1]])
+    published = {"corr": (2.386, 2.389), "uncorr": (2.320, 1.228)}
+    for name, cov in (("corr", cov_corr), ("uncorr", cov_raw)):
+        mi_raw, mi_prep = [], []
+        for seed in SEEDS:
+            rng = np.random.default_rng(seed)
+            w, v = eigh(cov)
+            X = get_gaussian_inputs(eig_values=w, sample_size=500,
+                                    eig_vectors=v, rng=rng)
+            X -= X.mean(0)
+            y = get_tanh_targets(X, 0.5 * np.ones(3), rng=rng)
+            edr = EffectiveDimensionalityReduction(
+                GaussianProcessRegressor(), SVDTransformer(), n_components=1)
+            edr.fit(X, y)
+            mi_raw.append(mutual_info_regression(
+                edr.transform(X), y, random_state=0)[0])
+            edr_p = EffectiveDimensionalityReduction(
+                GaussianProcessRegressor(), SVDTransformer(), n_components=1,
+                preprocessor=PCA(n_components=2))
+            edr_p.fit(X, y)
+            mi_prep.append(mutual_info_regression(
+                edr_p.transform(X), y, random_state=0)[0])
+        record(f"chain_pca_{name}_raw_mi", published[name][0], mi_raw,
+               better_is="higher")
+        record(f"chain_pca_{name}_preprocessed_mi", published[name][1],
+               mi_prep, better_is="higher")
+
+
+def main():
+    run_regression_example()
+    run_brief_intro()
+    run_brief_intro_sparse()
+    run_chain_pca()
+    out = os.path.join(os.path.dirname(__file__), "..", "results",
+                       "PARITY_RUNS.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    summary = {"note": ("published = the reference notebooks' committed "
+                        "outputs (legacy np.random.seed streams, not "
+                        "bit-replayable); native = this framework over "
+                        f"{len(SEEDS)} fresh seeds, CPU float64"),
+               "all_parity": all(r["parity"] for r in RESULTS),
+               "runs": RESULTS}
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({"all_parity": summary["all_parity"],
+                      "written": os.path.relpath(out)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

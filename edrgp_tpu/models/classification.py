@@ -13,8 +13,8 @@ from sklearn.base import ClassifierMixin
 
 from ..ops.kernels import RBF
 from .base import _BaseGP
-from .cls_state import (EPClassificationModel, SparseVGPClassificationModel,
-                        VGPClassificationModel)
+from .cls_state import (EPClassificationModel, SparseEPClassificationModel,
+                        SparseVGPClassificationModel, VGPClassificationModel)
 
 __all__ = ["GaussianProcessClassifier", "SparseGaussianProcessClassifier"]
 
@@ -67,10 +67,16 @@ class GaussianProcessClassifier(_BaseGP, ClassifierMixin):
 
 class SparseGaussianProcessClassifier(_BaseGP, ClassifierMixin):
     """Sparse binary GP classifier (native ``SparseGPClassification``
-    equivalent; reference ``classification.py:101-183``)."""
+    equivalent; reference ``classification.py:101-183``).
+
+    ``inference="vi"`` (default) is the whitened sparse variational fit;
+    ``inference="ep"`` is EP-DTC — the inference GPy itself runs at the
+    reference's sparse call site (``classification.py:146-149``), probit
+    link only (as in GPy)."""
 
     def __init__(self, kernels=None, kernel_options=None, likelihood=None,
-                 Z=None, num_inducing=10, Y_metadata=None, method="optimize"):
+                 Z=None, num_inducing=10, Y_metadata=None, method="optimize",
+                 inference="vi"):
         self.kernels = kernels
         self.kernel_options = kernel_options
         self.likelihood = likelihood
@@ -78,10 +84,22 @@ class SparseGaussianProcessClassifier(_BaseGP, ClassifierMixin):
         self.num_inducing = num_inducing
         self.Y_metadata = Y_metadata
         self.method = method
+        self.inference = inference
 
     def _get_model(self, X, y, kernel):
         if kernel is None:
             kernel = RBF(X.shape[1])
+        if self.inference == "ep":
+            from ..ops.vgp import canonical_likelihood
+            if canonical_likelihood(self.likelihood) != "probit":
+                raise ValueError("inference='ep' supports the probit "
+                                 "(Bernoulli) likelihood only — use "
+                                 "inference='vi' for the logit link")
+            return SparseEPClassificationModel(
+                X, y, kernel, Z=self.Z, num_inducing=self.num_inducing)
+        if self.inference != "vi":
+            raise ValueError(f"unknown inference {self.inference!r}; "
+                             "expected 'vi' or 'ep'")
         return SparseVGPClassificationModel(
             X, y, kernel, Z=self.Z, num_inducing=self.num_inducing,
             likelihood=self.likelihood)

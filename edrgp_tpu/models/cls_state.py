@@ -22,6 +22,7 @@ import numpy as np
 from ..config import default_dtype
 from ..inference.lbfgs import register_objective
 from ..ops import ep as _ep
+from ..ops import ep_dtc as _ep_dtc
 from ..ops import exact as _exact
 from ..ops import vgp as _vgp
 from ..ops.kernels import Kernel
@@ -29,7 +30,7 @@ from . import state as _state
 from .state import _BaseModel, _perturb_inits
 
 __all__ = ["VGPClassificationModel", "SparseVGPClassificationModel",
-           "EPClassificationModel"]
+           "EPClassificationModel", "SparseEPClassificationModel"]
 
 register_objective("neg_vgp_elbo",
                    lambda kernel: lambda p, X, y: -_vgp.vgp_elbo(
@@ -44,6 +45,7 @@ register_objective("neg_svgp_cls_elbo_logit",
                    lambda kernel: lambda p, X, y: -_vgp.svgp_cls_elbo(
                        kernel, p, X, y, "logit"))
 register_objective("neg_ep_energy", _ep.ep_neg_energy_objective)
+register_objective("neg_ep_dtc_energy", _ep_dtc.ep_dtc_neg_energy_objective)
 
 
 class _BaseClsModel(_BaseModel):
@@ -225,6 +227,73 @@ class EPClassificationModel(_BaseClsModel):
                               self._X)[0] * alpha).sum()
 
 
+class SparseEPClassificationModel(_BaseClsModel):
+    """Sparse binary GP classifier fitted by EP-DTC — the inference GPy's
+    ``SparseGPClassification`` runs at the reference's sparse call site
+    (``classification.py:146-149``), in damped-parallel O(NM²) TPU form
+    (:mod:`edrgp_tpu.ops.ep_dtc`).  ``log_likelihood`` reports log Z_EP-DTC.
+    Only the probit link exists under EP (GPy likewise); logit requests
+    route through the VI engine at the estimator layer."""
+
+    _objective_name = "neg_ep_dtc_energy"
+
+    def __init__(self, X: np.ndarray, y: np.ndarray, kernel: Kernel,
+                 Z: Optional[np.ndarray] = None, num_inducing: int = 10,
+                 mean_function=None, dtype=None, seed: int = 0):
+        dtype = dtype or default_dtype()
+        self.kernel = kernel
+        self.mean_function = mean_function
+        self.normalizer = None
+        y = np.asarray(y).reshape(-1)
+        classes = np.unique(y)
+        if classes.size != 2:
+            raise ValueError(f"binary classification requires 2 classes, got {classes}")
+        self.classes_ = classes
+        self._X = jnp.asarray(X, dtype)
+        self._y = jnp.asarray(np.where(y == classes[1], 1.0, -1.0), dtype)
+        if Z is None:
+            rng = np.random.default_rng(seed)
+            m = min(int(num_inducing), X.shape[0])
+            Z = np.asarray(X)[rng.permutation(X.shape[0])[:m]]
+        self.params = {"kernel": kernel.init_params(dtype),
+                       "Z": jnp.asarray(Z, dtype)}
+        self._objective = float("nan")
+        self._cache = None
+
+    def _ep(self):
+        """Lazy (sites, prediction cache); reset on every optimize()."""
+        if self._cache is None:
+            state = _ep_dtc.ep_dtc_fit(self.kernel, self.params, self._X,
+                                       self._y)
+            cache = _ep_dtc.ep_dtc_posterior_cache(
+                self.kernel, self.params, self._X, state.nu, state.tau)
+            self._cache = (state, cache)
+        return self._cache
+
+    def log_likelihood(self) -> float:
+        state, _ = self._ep()
+        return float(_ep_dtc.ep_dtc_energy(self.kernel, self.params, self._X,
+                                           self._y, state.nu, state.tau))
+
+    def _latent(self, Xnew):
+        _, cache = self._ep()
+        return _ep_dtc.ep_dtc_predict_latent(self.kernel, self.params,
+                                             cache, Xnew)
+
+    def _latent_mean_one(self, x):
+        mean, _ = self._latent(x[None, :])
+        return mean[0]
+
+    def predictive_gradients(self, Xnew):
+        """d(latent mean)/dx* via autodiff of the DTC projection mean."""
+        Xnew = jnp.asarray(Xnew, self._X.dtype)
+        self._ep()
+        grad_fn = jax.vmap(jax.grad(self._latent_mean_one))
+        dmu = np.asarray(grad_fn(Xnew))
+        return dmu[:, :, None], np.zeros_like(dmu)
+
+
 _state._MODEL_CLASSES["VGPClassificationModel"] = VGPClassificationModel
 _state._MODEL_CLASSES["SparseVGPClassificationModel"] = SparseVGPClassificationModel
 _state._MODEL_CLASSES["EPClassificationModel"] = EPClassificationModel
+_state._MODEL_CLASSES["SparseEPClassificationModel"] = SparseEPClassificationModel
