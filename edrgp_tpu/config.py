@@ -65,3 +65,29 @@ def set_adjoint_precision(name: str | None):
     global _ADJOINT_PRECISION
     _ADJOINT_PRECISION = (None if name is None
                           else getattr(jax.lax.Precision, name.upper()))
+
+
+#: MXU precision for the final lauum (L⁻ᵀ·L⁻¹) product only.  Unlike the
+#: trtri recursion, lauum is a single product — per-entry bf16 rounding does
+#: not compound — and the round-3 TPU anatomy A/B (results/tpu_anatomy_r3
+#: + BENCH_NOTES.md) measured the MIXED tier (trtri HIGH, lauum DEFAULT)
+#: *both* faster (50.8 vs 54.7 ms/eval at N=10k) and no less accurate
+#: (grad rel-l2 vs HIGHEST: 1.21e-3 vs 1.47e-3 — the error is dominated by
+#: the α/trtri path) than lauum-at-HIGH.  On CPU every precision is exact.
+_LAUUM_PRECISION = None
+
+
+def lauum_precision():
+    """Resolved ``lax.Precision`` for the lauum (symmetric-square) gemms."""
+    global _LAUUM_PRECISION
+    if _LAUUM_PRECISION is None:
+        import os
+        name = os.environ.get("EDRGP_LAUUM_PRECISION", "default").upper()
+        _LAUUM_PRECISION = getattr(jax.lax.Precision, name)
+    return _LAUUM_PRECISION
+
+
+def set_lauum_precision(name: str | None):
+    global _LAUUM_PRECISION
+    _LAUUM_PRECISION = (None if name is None
+                        else getattr(jax.lax.Precision, name.upper()))

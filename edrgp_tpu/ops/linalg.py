@@ -317,7 +317,8 @@ def _ldq_fwd(Ky, y):
 def _ldq_bwd(res, cotangents):
     Linv, alpha = res
     g_logdet, g_quad = cotangents
-    Kinv = sym_square_from_tri_inv(Linv)
+    from ..config import lauum_precision
+    Kinv = sym_square_from_tri_inv(Linv, precision=lauum_precision())
     dK = g_logdet * Kinv - g_quad * jnp.outer(alpha, alpha)
     dy = 2.0 * g_quad * alpha
     return dK, dy
