@@ -45,7 +45,7 @@ from edrgp_tpu.parallel.mesh import make_mesh
 OUT = {}
 
 
-def fit_demo(n=4096, q=4):
+def fit_demo(n=2048, q=4):
     rng = np.random.default_rng(0)
     X = rng.normal(size=(n, q)).astype(np.float32)
     f = np.sin(1.3 * X[:, 0]) + 0.5 * np.cos(X[:, 1])
@@ -54,12 +54,12 @@ def fit_demo(n=4096, q=4):
 
     t0 = time.time()
     m_sh = ExactGPModel(X, y, RBF(q, ARD=True), dtype=jnp.float32)
-    m_sh.optimize_sharded(mesh=mesh, max_iters=150)
+    m_sh.optimize_sharded(mesh=mesh, max_iters=80)
     t_sh = time.time() - t0
 
     t0 = time.time()
     m_1 = ExactGPModel(X, y, RBF(q, ARD=True), dtype=jnp.float32)
-    m_1.optimize(max_iters=150)
+    m_1.optimize(max_iters=80)
     t_1 = time.time() - t0
 
     ll_sh, ll_1 = m_sh.log_likelihood(), m_1.log_likelihood()

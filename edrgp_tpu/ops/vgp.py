@@ -34,9 +34,12 @@ __all__ = ["vgp_elbo", "vgp_predict_latent", "svgp_cls_elbo",
            "bernoulli_predict_proba"]
 
 _GH_POINTS = 20
-_gh_x, _gh_w = np.polynomial.hermite_e.hermegauss(_GH_POINTS)
-_GH_X = jnp.asarray(_gh_x)                       # standard-normal nodes
-_GH_W = jnp.asarray(_gh_w / math.sqrt(2 * math.pi))  # weights sum to 1
+# Plain numpy at module scope: creating jnp arrays here would initialize
+# the JAX backend at import time, before callers (the driver's
+# dryrun_multichip, test harnesses) can force a platform/device count.
+# jnp conversion happens at trace time and constant-folds under jit.
+_GH_X, _gh_w = np.polynomial.hermite_e.hermegauss(_GH_POINTS)
+_GH_W = _gh_w / math.sqrt(2 * math.pi)           # weights sum to 1
 
 
 def probit(z):
@@ -83,9 +86,9 @@ def _expected_log_lik(y_sign, mu, var, lik: str = "probit"):
     """Σᵢ E_{N(f;μᵢ,σᵢ²)}[log g(yᵢ f)] via Gauss-Hermite (vectorized)."""
     sd = jnp.sqrt(jnp.maximum(var, 1e-12))
     # nodes: [N, Q] = μ + σ·x_q
-    f = mu[:, None] + sd[:, None] * _GH_X[None, :].astype(mu.dtype)
+    f = mu[:, None] + sd[:, None] * jnp.asarray(_GH_X, mu.dtype)[None, :]
     ll = _LOG_LIKS[lik](y_sign[:, None] * f)
-    return jnp.sum(ll @ _GH_W.astype(mu.dtype))
+    return jnp.sum(ll @ jnp.asarray(_GH_W, mu.dtype))
 
 
 @partial(jax.jit, static_argnums=2)
@@ -97,8 +100,8 @@ def bernoulli_predict_proba(mean, var, lik: str = "probit"):
     if lik == "probit":
         return probit(mean / jnp.sqrt(1.0 + var))
     sd = jnp.sqrt(jnp.maximum(var, 1e-12))
-    f = mean[:, None] + sd[:, None] * _GH_X[None, :].astype(mean.dtype)
-    return jax.nn.sigmoid(f) @ _GH_W.astype(mean.dtype)
+    f = mean[:, None] + sd[:, None] * jnp.asarray(_GH_X, mean.dtype)[None, :]
+    return jax.nn.sigmoid(f) @ jnp.asarray(_GH_W, mean.dtype)
 
 
 def _unpack_tril(flat, n):

@@ -118,3 +118,41 @@ def test_value_and_grad_path_large_uses_blocked(monkeypatch):
     v2, g2 = jax.value_and_grad(f_ref)(K)
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-9)
+
+
+def test_cholesky_blocked_v2_matches_stock():
+    """Gemm-panel blocked Cholesky (the production fp32 value path above
+    N=4096) against the stock kernel, including the padded (non-multiple)
+    shape."""
+    from edrgp_tpu.ops.linalg import cholesky_blocked_v2
+
+    rng = np.random.default_rng(0)
+    for n, dt, tol in ((900, jnp.float64, 1e-12), (1300, jnp.float32, 2e-5)):
+        G = rng.normal(size=(n, 16)).astype(np.float64)
+        A = jnp.asarray(G @ G.T + n * np.eye(n), dt)
+        L_ref = jnp.linalg.cholesky(A)
+        L_v2 = cholesky_blocked_v2(A, block=512)
+        err = float(jnp.linalg.norm(jnp.tril(L_v2) - jnp.tril(L_ref))
+                    / jnp.linalg.norm(jnp.tril(L_ref)))
+        assert err < tol, (n, dt, err)
+
+
+def test_cholesky_once_routes_f32_through_blocked_v2():
+    """cholesky_once at fp32 N>threshold uses the blocked factorization;
+    the jitter cascade must still detect and repair indefiniteness."""
+    from edrgp_tpu.ops import linalg as la
+
+    n = la._BLOCK_CHOL_MIN_N + 64
+    rng = np.random.default_rng(1)
+    G = rng.normal(size=(n, 8)).astype(np.float32)
+    # rank-8 + tiny diagonal: fp32-indefinite enough to need jitter
+    A = jnp.asarray(G @ G.T + 1e-6 * np.eye(n), jnp.float32)
+    L = la.cholesky_once(A)
+    assert bool(jnp.all(jnp.isfinite(jnp.diagonal(L))))
+    # and a well-conditioned one matches stock closely
+    B = jnp.asarray(G @ G.T + n * np.eye(n), jnp.float32)
+    L2 = la.cholesky_once(B)
+    ref = jnp.linalg.cholesky(B)
+    err = float(jnp.linalg.norm(jnp.tril(L2) - jnp.tril(ref))
+                / jnp.linalg.norm(jnp.tril(ref)))
+    assert err < 2e-5
