@@ -45,7 +45,7 @@ from edrgp_tpu.parallel.mesh import make_mesh
 OUT = {}
 
 
-def fit_demo(n=2048, q=4):
+def fit_demo(n=1024, q=4):
     rng = np.random.default_rng(0)
     X = rng.normal(size=(n, q)).astype(np.float32)
     f = np.sin(1.3 * X[:, 0]) + 0.5 * np.cos(X[:, 1])
@@ -54,12 +54,12 @@ def fit_demo(n=2048, q=4):
 
     t0 = time.time()
     m_sh = ExactGPModel(X, y, RBF(q, ARD=True), dtype=jnp.float32)
-    m_sh.optimize_sharded(mesh=mesh, max_iters=80)
+    m_sh.optimize_sharded(mesh=mesh, max_iters=30)
     t_sh = time.time() - t0
 
     t0 = time.time()
     m_1 = ExactGPModel(X, y, RBF(q, ARD=True), dtype=jnp.float32)
-    m_1.optimize(max_iters=80)
+    m_1.optimize(max_iters=30)
     t_1 = time.time() - t0
 
     ll_sh, ll_1 = m_sh.log_likelihood(), m_1.log_likelihood()
@@ -75,25 +75,26 @@ def fit_demo(n=2048, q=4):
     print(json.dumps({"stage": "fit", **OUT["fit"]}), flush=True)
 
 
-def memory_demo(n=16384, q=4):
+def memory_demo(n=16384, q=4, n_exec=8192):
+    """XLA memory analysis at N=16384 (compile only — executing a 16k³
+    problem on 2 emulated CPU cores takes ~10 min for no extra evidence),
+    plus one executed sharded eval at N=8192."""
     dtype = jnp.float32
     rng = np.random.default_rng(1)
-    X = jnp.asarray(rng.normal(size=(n, q)), dtype)
-    y = jnp.asarray(np.sin(rng.normal(size=n)), dtype)
     kernel = RBF(q, ARD=True)
     params = {"kernel": kernel.init_params(dtype),
               "raw_noise": inv_positive(jnp.asarray(0.1, dtype))}
     mesh = make_mesh(("data",), devices=jax.devices()[:8])
-    Xs, ys = shard_rows(mesh, "data", X, y)
 
+    X = jnp.asarray(rng.normal(size=(n, q)), dtype)
+    y = jnp.asarray(np.sin(rng.normal(size=n)), dtype)
+    Xs, ys = shard_rows(mesh, "data", X, y)
     fn_sh = make_sharded_nlml_value_and_grad(kernel, mesh)
-    c_sh = fn_sh.lower(params, Xs, ys).compile()
-    ma_sh = c_sh.memory_analysis()
+    ma_sh = fn_sh.lower(params, Xs, ys).compile().memory_analysis()
 
     fn_1 = jax.jit(jax.value_and_grad(
         lambda p: _exact.nlml(kernel, p, X, y)))
-    c_1 = fn_1.lower(params).compile()
-    ma_1 = c_1.memory_analysis()
+    ma_1 = fn_1.lower(params).compile().memory_analysis()
 
     def gib(x):
         return round(x / 2 ** 30, 3)
@@ -107,10 +108,15 @@ def memory_demo(n=16384, q=4):
         "sharded_args_gib_per_device": gib(ma_sh.argument_size_in_bytes),
         "single_args_gib": gib(ma_1.argument_size_in_bytes),
     }
-    # prove the sharded program actually executes at this N
+    # prove the sharded program executes beyond the fit-demo scale
+    Xe = jnp.asarray(rng.normal(size=(n_exec, q)), dtype)
+    ye = jnp.asarray(np.sin(rng.normal(size=n_exec)), dtype)
+    Xes, yes = shard_rows(mesh, "data", Xe, ye)
+    fn_e = make_sharded_nlml_value_and_grad(kernel, mesh)
     t0 = time.time()
-    v, g = fn_sh(params, Xs, ys)
+    v, g = fn_e(params, Xes, yes)
     jax.block_until_ready(v)
+    OUT["memory"]["executed_n"] = n_exec
     OUT["memory"]["sharded_eval_wall_s"] = round(time.time() - t0, 1)
     OUT["memory"]["nlml"] = round(float(v), 2)
     print(json.dumps({"stage": "memory", **OUT["memory"]}), flush=True)

@@ -24,7 +24,8 @@ from jax import lax
 from jax.flatten_util import ravel_pytree
 
 __all__ = ["HMCState", "AdaptState", "hmc_step", "window_adaptation_init",
-           "window_adaptation_update", "run_hmc", "run_hmc_pytree"]
+           "window_adaptation_update", "find_reasonable_epsilon", "run_hmc",
+           "run_hmc_pytree"]
 
 
 class HMCState(NamedTuple):
@@ -98,6 +99,45 @@ def hmc_step(logprob_fn: Callable, state: HMCState, key, eps, inv_mass,
                  "energy": -new.logp}
 
 
+def find_reasonable_epsilon(logprob_fn: Callable, state: HMCState, key,
+                            inv_mass=None, eps0: float = 1.0,
+                            max_doublings: int = 20) -> jnp.ndarray:
+    """Hoffman-Gelman ε init: double/halve until the one-leapfrog accept
+    ratio crosses 0.5.  Jittable; non-finite energies count as reject."""
+    dt = state.q.dtype
+    if inv_mass is None:
+        inv_mass = jnp.ones_like(state.q)
+    p0 = jax.random.normal(key, state.q.shape, dt) / jnp.sqrt(inv_mass)
+    energy0 = state.logp - 0.5 * jnp.sum(p0 * p0 * inv_mass)
+
+    def accept(eps):
+        p_half = p0 + 0.5 * eps * state.grad
+        q = state.q + eps * inv_mass * p_half
+        logp, grad = jax.value_and_grad(logprob_fn)(q)
+        p = p_half + 0.5 * eps * grad
+        energy = logp - 0.5 * jnp.sum(p * p * inv_mass)
+        a = jnp.exp(jnp.minimum(energy - energy0, 0.0))
+        return jnp.where(jnp.isfinite(energy), a, jnp.asarray(0.0, dt))
+
+    eps = jnp.asarray(eps0, dt)
+    d = jnp.where(accept(eps) > 0.5, jnp.asarray(1.0, dt),
+                  jnp.asarray(-1.0, dt))
+
+    def cond(carry):
+        eps, k = carry
+        a = accept(eps)
+        keep = jnp.where(d > 0, a > 0.5, a < 0.5)
+        return keep & (k < max_doublings)
+
+    def body(carry):
+        eps, k = carry
+        return eps * jnp.exp2(d), k + 1
+
+    eps, _ = lax.while_loop(cond, body, (eps, jnp.int32(0)))
+    # one step back toward the crossing point for the shrinking direction
+    return jnp.where(d > 0, eps, eps * 2.0) / 2.0
+
+
 def window_adaptation_init(q: jnp.ndarray, eps0: float = 0.1) -> AdaptState:
     d = q.shape[0]
     log_eps = jnp.log(jnp.asarray(eps0, q.dtype))
@@ -141,13 +181,31 @@ def window_adaptation_update(adapt: AdaptState, q, accept_stat,
 
 
 def _finalize_mass(adapt: AdaptState) -> AdaptState:
-    """Regularized sample variance → inverse mass (Stan-style shrinkage)."""
+    """Regularized sample variance → inverse mass (Stan-style shrinkage),
+    followed by a dual-averaging RESTART re-anchored at the current ε.
+
+    The restart is load-bearing: ``count`` doubles as the Welford n and
+    the dual-averaging time t, so zeroing it without also resetting
+    (h_avg, μ, log_eps_avg) snapped ε back toward the *initial* anchor
+    after every mass update — measured on the N=1024 GP-posterior TPU
+    benchmark as ε collapsing to 1e-4, every tree pegged at max_depth,
+    and split-R̂ in the hundreds (results/tpu_suite2_r3.log, first NUTS
+    run).  Stan restarts dual averaging at each window boundary for
+    exactly this reason."""
     n = jnp.maximum(adapt.count, 2.0)
     var = adapt.w_m2 / (n - 1.0)
     var = (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0))
-    return adapt._replace(inv_mass=var, w_mean=jnp.zeros_like(adapt.w_mean),
-                          w_m2=jnp.zeros_like(adapt.w_m2),
-                          count=jnp.zeros_like(adapt.count))
+    eps = jnp.exp(adapt.log_eps)
+    return AdaptState(
+        log_eps=jnp.log(eps),
+        log_eps_avg=jnp.log(eps),
+        h_avg=jnp.zeros_like(adapt.h_avg),
+        mu=jnp.log(10.0 * eps),
+        count=jnp.zeros_like(adapt.count),
+        w_mean=jnp.zeros_like(adapt.w_mean),
+        w_m2=jnp.zeros_like(adapt.w_m2),
+        inv_mass=var,
+    )
 
 
 @partial(jax.jit, static_argnames=("logprob_fn", "num_warmup", "num_samples",
@@ -159,11 +217,15 @@ def run_hmc(logprob_fn: Callable, q0: jnp.ndarray, key, *,
     """Full HMC run for one chain (vmap over q0/key for many chains).
 
     Warmup: two halves — first adapts ε only, second also accumulates the
-    diagonal mass matrix, applied at the midpoint and end.  Returns
+    diagonal mass matrix, applied at the midpoint and end (dual averaging
+    restarts at each boundary, Stan-style).  ε starts from the
+    Hoffman-Gelman doubling search rather than a fixed guess.  Returns
     (samples [num_samples, D], info dict of traces).
     """
     state = init_state(logprob_fn, q0)
-    adapt = window_adaptation_init(q0)
+    key, k_eps = jax.random.split(key)
+    eps0 = find_reasonable_epsilon(logprob_fn, state, k_eps)
+    adapt = window_adaptation_init(q0, eps0)
 
     half = num_warmup // 2
 

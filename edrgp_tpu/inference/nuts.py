@@ -248,9 +248,14 @@ def run_nuts(logprob_fn: Callable, q0: jnp.ndarray, key, *,
              axis_name: str | None = None):
     """Full NUTS run for one chain (vmap for many; shard the vmapped axis
     over a mesh for chain-parallel scale-out).  Same two-window adaptation
-    as :func:`edrgp_tpu.inference.hmc.run_hmc`."""
+    as :func:`edrgp_tpu.inference.hmc.run_hmc` (dual-averaging restarts at
+    the window boundaries; ε initialized by the Hoffman-Gelman doubling
+    search)."""
+    from .hmc import find_reasonable_epsilon
     state = init_state(logprob_fn, q0)
-    adapt = window_adaptation_init(q0)
+    key, k_eps = jax.random.split(key)
+    eps0 = find_reasonable_epsilon(logprob_fn, state, k_eps)
+    adapt = window_adaptation_init(q0, eps0)
     half = num_warmup // 2
 
     def warm_step(carry, key):
@@ -389,11 +394,19 @@ def run_nuts_segmented(logprob_fn: Callable, q0: jnp.ndarray, key, *,
     """
     import numpy as np
 
+    from .hmc import find_reasonable_epsilon
+
     warm_seg, sample_seg = _make_nuts_segments(
         logprob_fn, max_depth, target_accept, pool_eps)
 
     states = jax.vmap(lambda q: init_state(logprob_fn, q))(q0)
-    adapts = jax.vmap(window_adaptation_init)(q0)
+    key, k_eps = jax.random.split(jnp.asarray(key))
+    eps_keys = jax.random.split(k_eps, q0.shape[0])
+    eps0 = jax.jit(jax.vmap(lambda s, k: find_reasonable_epsilon(
+        logprob_fn, s, k)))(states, eps_keys)
+    if pool_eps:
+        eps0 = jnp.full_like(eps0, jnp.exp(jnp.mean(jnp.log(eps0))))
+    adapts = jax.vmap(window_adaptation_init)(q0, eps0)
     half = num_warmup // 2
 
     for phase, length in (("warmup1", half), ("warmup2", num_warmup - half)):

@@ -39,7 +39,7 @@ class BayesianGPModel:
     def __init__(self, X, y, kernel, normalizer=True, noise_var=1.0,
                  num_chains=4, num_warmup=300, num_samples=300,
                  max_depth=8, max_models=32, prior_scale=3.0, seed=0,
-                 dtype=None):
+                 target_accept=0.9, dtype=None):
         dtype = dtype or default_dtype()
         self.kernel = kernel
         y = np.asarray(y).reshape(-1)
@@ -49,9 +49,14 @@ class BayesianGPModel:
         p0 = {"kernel": kernel.init_params(dtype),
               "raw_noise": inv_positive(jnp.asarray(noise_var, dtype))}
         self._flat0, self._unravel = ravel_pytree(p0)
+        # target_accept 0.9 (not the generic 0.8): GP hyperparameter
+        # posteriors are funnel-prone, and the sharper dual-averaging
+        # adaptation (Hoffman-Gelman init + windowed restarts) otherwise
+        # settles on step sizes that clip divergent regions.
         self._cfg = dict(num_chains=num_chains, num_warmup=num_warmup,
                          num_samples=num_samples, max_depth=max_depth,
-                         prior_scale=float(prior_scale))
+                         prior_scale=float(prior_scale),
+                         target_accept=float(target_accept))
         self.max_models = max_models
         self._seed = seed
         self.samples_ = None         # [S, D] thinned unconstrained samples
@@ -70,7 +75,8 @@ class BayesianGPModel:
         run = partial(run_nuts, logprob,
                       num_warmup=self._cfg["num_warmup"],
                       num_samples=self._cfg["num_samples"],
-                      max_depth=self._cfg["max_depth"])
+                      max_depth=self._cfg["max_depth"],
+                      target_accept=self._cfg.get("target_accept", 0.9))
         key = jax.random.PRNGKey(self._seed)
         q0 = jnp.tile(self._flat0, (self._cfg["num_chains"], 1))
         keys = jax.random.split(key, self._cfg["num_chains"])
@@ -191,7 +197,8 @@ class BayesianGaussianProcessRegressor(_BaseGP):
     def __init__(self, kernels=None, kernel_options=None, normalizer=True,
                  noise_var=1.0, num_chains=4, num_warmup=300,
                  num_samples=300, max_depth=8, max_models=32,
-                 prior_scale=3.0, seed=0, method="optimize"):
+                 prior_scale=3.0, seed=0, target_accept=0.9,
+                 method="optimize"):
         self.kernels = kernels
         self.kernel_options = kernel_options
         self.normalizer = normalizer
@@ -203,6 +210,7 @@ class BayesianGaussianProcessRegressor(_BaseGP):
         self.max_models = max_models
         self.prior_scale = prior_scale
         self.seed = seed
+        self.target_accept = target_accept
         self.method = method
 
     def _get_model(self, X, y, kernel):
@@ -213,4 +221,5 @@ class BayesianGaussianProcessRegressor(_BaseGP):
             noise_var=self.noise_var, num_chains=self.num_chains,
             num_warmup=self.num_warmup, num_samples=self.num_samples,
             max_depth=self.max_depth, max_models=self.max_models,
-            prior_scale=self.prior_scale, seed=self.seed)
+            prior_scale=self.prior_scale, seed=self.seed,
+            target_accept=self.target_accept)

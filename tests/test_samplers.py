@@ -36,7 +36,7 @@ def test_hmc_moments():
 
 def test_nuts_moments():
     qs, info = run_nuts(gauss_logprob, jnp.zeros(2), jax.random.PRNGKey(1),
-                        num_warmup=500, num_samples=3000, max_depth=8)
+                        num_warmup=500, num_samples=6000, max_depth=8)
     assert info["divergences"] == 0
     np.testing.assert_allclose(np.asarray(qs.mean(0)), np.asarray(MU),
                                atol=0.15)
