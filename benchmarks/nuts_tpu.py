@@ -79,6 +79,14 @@ def main():
     res = minimize_segmented("exact_nlml", kernel, p0, (X, y),
                              max_iters=200, tol=3e-4, segment_iters=25)
     flat_hat, _ = ravel_pytree(res.params)
+    # ML-II (no prior) drives the ARD lengthscales of y-irrelevant features
+    # to +inf (raw ~1e4), which sits 1e6 log-prob units outside the NUTS
+    # target's N(0, prior_scale) prior — chains started there spend all of
+    # warmup falling down the prior cliff and the mass matrix adapts to the
+    # fall, not the posterior (first r3 capture: inv_mass ~3e5 in the flat
+    # dims, eps ~1e-4, split-R-hat in the hundreds).  Clip the init into
+    # the prior's support; the likelihood is flat in those dims by then.
+    flat_hat = jnp.clip(flat_hat, -2.0 * prior_scale, 2.0 * prior_scale)
     print(json.dumps({"progress": "ml2_mode", "nlml": float(res.value),
                       "wall_s": round(time.perf_counter() - t0, 1)}),
           flush=True)
