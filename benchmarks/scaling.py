@@ -60,12 +60,15 @@ def main():
     args = ap.parse_args()
 
     import jax
+    cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
     if args.cpu_devices:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.cpu_devices)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(__file__), "..",
-                                   ".jax_cache"))
+        # host-keyed CPU cache subdir (foreign-host XLA:CPU AOT entries
+        # abort on execution — edrgp_tpu.config.cpu_compile_cache_dir)
+        from edrgp_tpu.config import cpu_compile_cache_dir
+        cache = cpu_compile_cache_dir(cache)
+    jax.config.update("jax_compilation_cache_dir", cache)
     import jax.numpy as jnp
     from edrgp_tpu.ops import svgp as _svgp
     from edrgp_tpu.ops.kernels import RBF, inv_positive

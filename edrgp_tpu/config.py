@@ -38,6 +38,37 @@ def on_tpu() -> bool:
         return False
 
 
+def cpu_compile_cache_dir(base_dir: str) -> str:
+    """Host-keyed persistent-cache subdir for XLA:CPU programs.
+
+    XLA:CPU's persistent cache stores AOT-compiled machine code keyed only
+    by the HLO — a cache populated on one host microarchitecture and read
+    on another loads code using unsupported CPU features (the
+    ``cpu_aot_loader`` machine-feature-mismatch warnings) and can abort the
+    process mid-test (observed: SIGABRT inside a cached sharded-L-BFGS
+    segment after a session moved hosts).  Keying the CPU cache subdir by a
+    fingerprint of ``/proc/cpuinfo`` flags makes a foreign host's entries
+    invisible instead of fatal.  TPU programs (compiled remotely,
+    host-independent) stay at ``base_dir`` root.
+    """
+    import hashlib
+    import os
+
+    flags = "unknown"
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    key = hashlib.sha256(flags.encode()).hexdigest()[:12]
+    path = os.path.join(base_dir, f"cpu-{key}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 #: MXU precision for the blocked trtri/lauum gemms on the NLML adjoint path
 #: (:mod:`edrgp_tpu.ops.linalg`).  On TPU, float32 matmuls at DEFAULT
 #: precision run one bf16 pass per operand; HIGH runs 3 passes (~fp32

@@ -255,6 +255,12 @@ def run_nuts(logprob_fn: Callable, q0: jnp.ndarray, key, *,
     state = init_state(logprob_fn, q0)
     key, k_eps = jax.random.split(key)
     eps0 = find_reasonable_epsilon(logprob_fn, state, k_eps)
+    if axis_name is not None:
+        # pooled adaptation shares the dual-averaging *increments* via
+        # pmean, but the per-chain Hoffman-Gelman search returns chain-
+        # dependent powers of two — pool the anchor too (geometric mean)
+        # or "pooled" chains end up on permanently different ε tracks.
+        eps0 = jnp.exp(lax.pmean(jnp.log(eps0), axis_name))
     adapt = window_adaptation_init(q0, eps0)
     half = num_warmup // 2
 

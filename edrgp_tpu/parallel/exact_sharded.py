@@ -124,7 +124,12 @@ def _forward_substitute(L_local, y_local, axis: str, p: int):
         zk = _bcast_from(zk, k, axis)
         return _dus(z, zk, (k * Lr,))
 
-    return lax.fori_loop(0, p, step, jnp.zeros((N,), y_local.dtype))
+    # promoted dtype: under x64, optax's linesearch evaluates the objective
+    # at f64 step scalars, promoting params (hence L) to f64 while the data
+    # stays f32 — the carry must live in the promoted type or the
+    # dynamic_update_slice above rejects the mixed dtypes.
+    dt = jnp.result_type(L_local.dtype, y_local.dtype)
+    return lax.fori_loop(0, p, step, jnp.zeros((N,), dt))
 
 
 def _backward_substitute(L_local, z_full, axis: str, p: int):

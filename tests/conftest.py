@@ -15,8 +15,12 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
-_cache_dir = os.path.abspath(
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+from edrgp_tpu.config import cpu_compile_cache_dir  # noqa: E402
+
+# host-keyed CPU subdir: XLA:CPU AOT entries from a different host
+# microarch abort the process when executed (see cpu_compile_cache_dir)
+_cache_dir = cpu_compile_cache_dir(os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache")))
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
