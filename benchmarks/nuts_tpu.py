@@ -84,9 +84,20 @@ def main():
     # target's N(0, prior_scale) prior — chains started there spend all of
     # warmup falling down the prior cliff and the mass matrix adapts to the
     # fall, not the posterior (first r3 capture: inv_mass ~3e5 in the flat
-    # dims, eps ~1e-4, split-R-hat in the hundreds).  Clip the init into
-    # the prior's support; the likelihood is flat in those dims by then.
+    # dims, eps ~1e-4, split-R-hat in the hundreds).  Clip into the
+    # prior's support, then refine to the MAP of the *actual target* so
+    # the Laplace mass below is taken at a true mode.
     flat_hat = jnp.clip(flat_hat, -2.0 * prior_scale, 2.0 * prior_scale)
+    from edrgp_tpu.inference.lbfgs import minimize_segmented_fn
+    t0 = time.perf_counter()
+    res_map = minimize_segmented_fn(
+        lambda q: -logprob(q), flat_hat, max_iters=100, tol=3e-4,
+        segment_iters=25)
+    flat_hat = res_map.params
+    print(json.dumps({"progress": "map_mode",
+                      "neg_log_post": float(res_map.value),
+                      "wall_s": round(time.perf_counter() - t0, 1)}),
+          flush=True)
     print(json.dumps({"progress": "ml2_mode", "nlml": float(res.value),
                       "wall_s": round(time.perf_counter() - t0, 1)}),
           flush=True)
@@ -94,6 +105,16 @@ def main():
     C = args.chains
     q0 = jnp.tile(flat_hat[None], (C, 1)) + 0.05 * jax.random.normal(
         jax.random.PRNGKey(1), (C, flat_hat.shape[0]), dt)
+
+    # Laplace curvature at the (clipped) mode seeds the mass matrix:
+    # without it the first warmup window runs identity-mass trees at max
+    # depth on this ~65x-ill-conditioned posterior and warmup costs 3x
+    # the sampling phase (results/tpu_nuts_r3c.log).
+    from edrgp_tpu.inference.hmc import curvature_inv_mass
+    inv_mass0 = jax.jit(lambda q: curvature_inv_mass(logprob, q))(flat_hat)
+    print(json.dumps({"progress": "laplace_mass",
+                      "inv_mass0": np.asarray(inv_mass0).round(5).tolist()}),
+          flush=True)
 
     # per-segment wall clocks, stamped by the host continuation loop
     marks = {"t_last": time.perf_counter(), "warm": [], "sample": []}
@@ -111,7 +132,8 @@ def main():
     qs, info = run_nuts_segmented(
         logprob, q0, jax.random.PRNGKey(0), num_warmup=args.warmup,
         num_samples=args.samples, max_depth=args.max_depth,
-        segment_len=args.segment, pool_eps=True, on_segment=on_segment)
+        segment_len=args.segment, pool_eps=True, inv_mass0=inv_mass0,
+        on_segment=on_segment)
     total_wall = time.perf_counter() - t0
 
     # throughput from the sampling segments, excluding the first (compile)

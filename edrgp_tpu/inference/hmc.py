@@ -138,9 +138,12 @@ def find_reasonable_epsilon(logprob_fn: Callable, state: HMCState, key,
     return jnp.where(d > 0, eps, eps * 2.0) / 2.0
 
 
-def window_adaptation_init(q: jnp.ndarray, eps0: float = 0.1) -> AdaptState:
+def window_adaptation_init(q: jnp.ndarray, eps0: float = 0.1,
+                           inv_mass0: jnp.ndarray | None = None) -> AdaptState:
     d = q.shape[0]
     log_eps = jnp.log(jnp.asarray(eps0, q.dtype))
+    inv_mass = (jnp.ones(d, q.dtype) if inv_mass0 is None
+                else jnp.broadcast_to(jnp.asarray(inv_mass0, q.dtype), (d,)))
     return AdaptState(
         log_eps=log_eps,
         log_eps_avg=log_eps,
@@ -149,8 +152,40 @@ def window_adaptation_init(q: jnp.ndarray, eps0: float = 0.1) -> AdaptState:
         count=jnp.zeros((), q.dtype),
         w_mean=jnp.zeros(d, q.dtype),
         w_m2=jnp.zeros(d, q.dtype),
-        inv_mass=jnp.ones(d, q.dtype),
+        inv_mass=inv_mass,
     )
+
+
+def curvature_inv_mass(logprob_fn: Callable, q: jnp.ndarray,
+                       floor: float = 1e-6) -> jnp.ndarray:
+    """Diagonal inverse-mass init from the target's curvature at ``q``.
+
+    Per dimension: inverse mass = 1 / (−∂²logp/∂q²) — the Laplace-
+    approximation variance — wherever the curvature is strictly positive
+    (we are at/near a mode), unit mass elsewhere.  Cost: D Hessian-vector
+    products = D gradient evals (forward-over-reverse), trivially cheap
+    next to warmup.
+
+    Why it exists: the first warmup window otherwise runs under identity
+    mass, and on ill-conditioned targets (a GP posterior's tight
+    noise/variance dims vs prior-wide flat dims span ~65× in scale at
+    N=1024) every identity-mass tree runs to max depth — measured as
+    warmup costing 3× the whole sampling phase on the TPU NUTS benchmark.
+    Seeding the mass with Laplace curvature makes window-1 trees shallow
+    immediately; the Welford estimate then replaces it at the first
+    window boundary as usual.
+    """
+    grad = jax.grad(logprob_fn)
+
+    def hvp_diag(i):
+        e = jnp.zeros_like(q).at[i].set(1.0)
+        return jax.jvp(grad, (q,), (e,))[1][i]
+
+    h = jax.vmap(hvp_diag)(jnp.arange(q.shape[0]))
+    curv = -h
+    var = jnp.where(curv > floor, 1.0 / jnp.maximum(curv, floor),
+                    jnp.ones_like(curv))
+    return jnp.clip(var, 1e-6, 1e6).astype(q.dtype)
 
 
 def window_adaptation_update(adapt: AdaptState, q, accept_stat,

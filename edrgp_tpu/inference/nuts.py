@@ -387,6 +387,7 @@ def run_nuts_segmented(logprob_fn: Callable, q0: jnp.ndarray, key, *,
                        num_warmup: int = 500, num_samples: int = 500,
                        max_depth: int = 8, target_accept: float = 0.8,
                        segment_len: int = 32, pool_eps: bool = False,
+                       inv_mass0: jnp.ndarray | None = None,
                        on_segment: Callable | None = None):
     """Multi-chain NUTS as a sequence of bounded device programs.
 
@@ -394,6 +395,9 @@ def run_nuts_segmented(logprob_fn: Callable, q0: jnp.ndarray, key, *,
     each device program (vmapped), and no single XLA execution runs more
     than ``segment_len`` transitions.  ``pool_eps=True`` pools the dual-
     averaging acceptance statistic across chains (one shared ε).
+    ``inv_mass0`` ([D]) seeds the diagonal inverse mass for the first
+    warmup window (see :func:`edrgp_tpu.inference.hmc.curvature_inv_mass`);
+    the Welford estimate replaces it at the window boundary as usual.
     ``on_segment(phase, done, total)`` is called after each segment (host-
     side progress hook).  Returns (samples [C, num_samples, D], info) with
     the same info fields as :func:`run_nuts`.
@@ -408,11 +412,13 @@ def run_nuts_segmented(logprob_fn: Callable, q0: jnp.ndarray, key, *,
     states = jax.vmap(lambda q: init_state(logprob_fn, q))(q0)
     key, k_eps = jax.random.split(jnp.asarray(key))
     eps_keys = jax.random.split(k_eps, q0.shape[0])
+    im = None if inv_mass0 is None else jnp.asarray(inv_mass0, q0.dtype)
     eps0 = jax.jit(jax.vmap(lambda s, k: find_reasonable_epsilon(
-        logprob_fn, s, k)))(states, eps_keys)
+        logprob_fn, s, k, inv_mass=im)))(states, eps_keys)
     if pool_eps:
         eps0 = jnp.full_like(eps0, jnp.exp(jnp.mean(jnp.log(eps0))))
-    adapts = jax.vmap(window_adaptation_init)(q0, eps0)
+    adapts = jax.vmap(lambda q, e: window_adaptation_init(
+        q, e, inv_mass0=im))(q0, eps0)
     half = num_warmup // 2
 
     for phase, length in (("warmup1", half), ("warmup2", num_warmup - half)):

@@ -63,6 +63,39 @@ def test_nuts_vmapped_chains():
     np.testing.assert_allclose(pooled.mean(0), np.asarray(MU), atol=0.15)
 
 
+def test_curvature_inv_mass():
+    """Laplace mass init: exact −1/Hessian-diag on a Gaussian, unit mass
+    where curvature is flat/negative, and the segmented runner accepts it
+    on a badly scaled target (shallow trees from segment one)."""
+    from edrgp_tpu.inference.hmc import curvature_inv_mass
+    from edrgp_tpu.inference.nuts import run_nuts_segmented
+
+    im = curvature_inv_mass(gauss_logprob, MU)
+    np.testing.assert_allclose(np.asarray(im),
+                               1.0 / np.diag(np.asarray(PREC)), rtol=1e-5)
+    # flat direction (no curvature) falls back to unit mass
+    flat = curvature_inv_mass(lambda q: q[0] * 0.0 - 0.5 * q[1] ** 2,
+                              jnp.zeros(2))
+    np.testing.assert_allclose(np.asarray(flat), [1.0, 1.0], rtol=1e-5)
+
+    # diag scales (10, 0.1): identity mass needs ~100-leapfrog trees;
+    # curvature mass should mix with shallow trees and sane moments
+    scales = jnp.asarray([10.0, 0.1])
+
+    def scaled_logprob(q):
+        return -0.5 * jnp.sum((q / scales) ** 2)
+
+    q0 = jnp.zeros((4, 2)).at[:, 0].add(
+        jax.random.normal(jax.random.PRNGKey(7), (4,)))
+    im0 = curvature_inv_mass(scaled_logprob, jnp.zeros(2))
+    qs, info = run_nuts_segmented(
+        scaled_logprob, q0, jax.random.PRNGKey(3), num_warmup=200,
+        num_samples=400, max_depth=8, segment_len=50, inv_mass0=im0)
+    assert float(info["mean_leapfrogs"]) < 32.0
+    pooled = np.asarray(qs).reshape(-1, 2)
+    np.testing.assert_allclose(pooled.std(0), np.asarray(scales), rtol=0.25)
+
+
 def test_nuts_step_reversible_shapes():
     state = init_state(gauss_logprob, jnp.zeros(2))
     new, info = nuts_step(gauss_logprob, state, jax.random.PRNGKey(0),
