@@ -343,13 +343,22 @@ class ExactGPModel(_BaseModel, _MeanFunctionMixin):
         var = self.normalizer.unnorm_var(np.asarray(var))
         return mean[:, None], var[:, None]
 
-    def predictive_gradients(self, Xnew):
+    def predictive_gradients(self, Xnew, batch: int | None = None):
+        """(dmu [M,Q,1], dvar [M,Q]) — GPy contract (gp_model/base.py:222).
+
+        ``batch`` chunks the test points (auto-chosen to bound the
+        [batch, N] pushforward when M·N is large) so gradient extraction
+        scales to millions of rows; None at small M·N keeps the one-shot
+        vmap program.
+        """
         Xnew = jnp.asarray(Xnew, self._X.dtype)
         cache = self._posterior()
-        dmu = _exact.predict_mean_grad(self.kernel, self.params, self._X,
-                                       cache[1], Xnew)
-        dvar = _exact.predict_var_grad(self.kernel, self.params, self._X,
-                                       cache, Xnew)
+        if batch is None:
+            batch = _exact.grad_batch_size(Xnew.shape[0], self._X.shape[0])
+        dmu = _exact.predict_mean_grad_batched(
+            self.kernel, self.params, self._X, cache[1], Xnew, batch)
+        dvar = _exact.predict_var_grad_batched(
+            self.kernel, self.params, self._X, cache, Xnew, batch)
         dmu = (self.normalizer.unnorm_grad(np.asarray(dmu))
                + self._mean_grad_at(Xnew))
         dvar = self.normalizer.unnorm_var(np.asarray(dvar))
@@ -465,10 +474,14 @@ class SGPRModel(_BaseModel, _MeanFunctionMixin):
         var = self.normalizer.unnorm_var(np.asarray(var))
         return mean[:, None], var[:, None]
 
-    def predictive_gradients(self, Xnew):
+    def predictive_gradients(self, Xnew, batch: int | None = None):
         Xnew = jnp.asarray(Xnew, self._X.dtype)
         cache = self._posterior()
-        dmu = _sgpr.predict_mean_grad(self.kernel, self.params, cache[2], Xnew)
+        if batch is None:
+            batch = _exact.grad_batch_size(Xnew.shape[0],
+                                           self.params["Z"].shape[0])
+        dmu = _sgpr.predict_mean_grad_batched(self.kernel, self.params,
+                                              cache[2], Xnew, batch)
         dmu = (self.normalizer.unnorm_grad(np.asarray(dmu))
                + self._mean_grad_at(Xnew))
         dvar = self.normalizer.unnorm_var(

@@ -208,10 +208,15 @@ class SVGPModel(_BaseModel):
         var = self.normalizer.unnorm_var(np.asarray(var))
         return mean[:, None], var[:, None]
 
-    def predictive_gradients(self, Xnew):
+    def predictive_gradients(self, Xnew, batch: int | None = None):
         Xnew = jnp.asarray(Xnew, self._X.dtype)
         m, _ = self._mS()
-        dmu = _svgp.svgp_predict_mean_grad(self.kernel, self.params, m, Xnew)
+        if batch is None:
+            from ..ops.exact import grad_batch_size
+            batch = grad_batch_size(Xnew.shape[0],
+                                    self.params["Z"].shape[0])
+        dmu = _svgp.svgp_predict_mean_grad_batched(self.kernel, self.params,
+                                                   m, Xnew, batch)
         dmu = self.normalizer.unnorm_grad(np.asarray(dmu))
         return dmu[:, :, None], np.zeros_like(dmu)
 

@@ -27,6 +27,8 @@ from .linalg import cho_solve, logdet_from_chol, safe_cholesky, tri_solve
 
 __all__ = [
     "nlml", "posterior", "predict", "predict_mean_grad", "predict_var_grad",
+    "predict_mean_grad_batched", "predict_var_grad_batched", "map_batched",
+    "grad_batch_size", "weighted_kernel_grad",
     "predict_full_cov", "posterior_samples_f", "noise_variance",
 ]
 
@@ -109,6 +111,45 @@ def posterior_samples_f(kernel: Kernel, params, X, cache, Xnew,
     return mean[None, :] + eps @ Lc.T
 
 
+def map_batched(fn, Xnew: jnp.ndarray, batch: int):
+    """Apply a row-batched ``fn([b, Q]) -> [b, ...]`` over Xnew in chunks.
+
+    ``lax.map`` over static-size chunks keeps one [batch, N] pushforward
+    live at a time, so gradient extraction scales to M in the millions
+    without materializing the [M, N] cross-kernel the one-shot vmap path
+    implies (the EDR-at-scale requirement — the reference evaluates
+    ``predictive_gradients`` at every training row, ``base.py:485``).
+    """
+    M = Xnew.shape[0]
+    if M <= batch:
+        return fn(Xnew)
+    nb = -(-M // batch)
+    pad = nb * batch - M
+    Xp = jnp.pad(Xnew, ((0, pad),) + ((0, 0),) * (Xnew.ndim - 1))
+    out = jax.lax.map(fn, Xp.reshape((nb, batch) + Xnew.shape[1:]))
+    return out.reshape((nb * batch,) + out.shape[2:])[:M]
+
+
+def grad_batch_size(M: int, N: int, budget_elems: int = 1 << 26) -> int:
+    """Auto chunk size for gradient extraction: bound the [batch, N]
+    pushforward tile to ~``budget_elems`` (256 MiB at f32 by default),
+    quantized to powers of two so recompiles stay rare."""
+    if M * max(N, 1) <= budget_elems:
+        return M
+    b = max(budget_elems // max(N, 1), 256)
+    return 1 << (b.bit_length() - 1)
+
+
+def weighted_kernel_grad(kernel: Kernel, kparams, C, w, Xnew):
+    """∇ₓ Σᵢ wᵢ k(x, cᵢ) at each row of Xnew — the shared core of every
+    predictive-gradient path (exact: C=X, w=α; SGPR/SVGP: C=Z, w=β)."""
+
+    def mean_one(x):
+        return (kernel.K(kparams, x[None, :], C)[0] * w).sum()
+
+    return jax.vmap(jax.grad(mean_one))(Xnew)
+
+
 @partial(jax.jit, static_argnums=0)
 def predict_mean_grad(kernel: Kernel, params, X, alpha, Xnew):
     """dμ/dx* at each test point: [M, Q].
@@ -119,20 +160,20 @@ def predict_mean_grad(kernel: Kernel, params, X, alpha, Xnew):
     of GPy's ``predictive_gradients(X)[0][:, :, 0]``
     (``gp_model/base.py:222``).
     """
+    return weighted_kernel_grad(kernel, params["kernel"], X, alpha, Xnew)
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def predict_mean_grad_batched(kernel: Kernel, params, X, alpha, Xnew,
+                              batch: int = 4096):
+    """dμ/dx* in ``batch``-row chunks of test points (see
+    :func:`map_batched`); identical values to :func:`predict_mean_grad`."""
     kp = params["kernel"]
-
-    def mean_one(x):
-        return (kernel.K(kp, x[None, :], X)[0] * alpha).sum()
-
-    return jax.vmap(jax.grad(mean_one))(Xnew)
+    return map_batched(
+        lambda c: weighted_kernel_grad(kernel, kp, X, alpha, c), Xnew, batch)
 
 
-@partial(jax.jit, static_argnums=0)
-def predict_var_grad(kernel: Kernel, params, X, cache, Xnew):
-    """d var/dx* at each test point: [M, Q] (GPy predictive_gradients[1])."""
-    L, _ = cache
-    kp = params["kernel"]
-
+def _var_grad(kernel: Kernel, kp, X, L, Xnew):
     def var_one(x):
         ks = kernel.K(kp, x[None, :], X)[0]
         v = tri_solve(L, ks[:, None], lower=True)[:, 0]
@@ -140,3 +181,19 @@ def predict_var_grad(kernel: Kernel, params, X, cache, Xnew):
         return kss - v @ v
 
     return jax.vmap(jax.grad(var_one))(Xnew)
+
+
+@partial(jax.jit, static_argnums=0)
+def predict_var_grad(kernel: Kernel, params, X, cache, Xnew):
+    """d var/dx* at each test point: [M, Q] (GPy predictive_gradients[1])."""
+    L, _ = cache
+    return _var_grad(kernel, params["kernel"], X, L, Xnew)
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def predict_var_grad_batched(kernel: Kernel, params, X, cache, Xnew,
+                             batch: int = 4096):
+    """d var/dx* in ``batch``-row chunks (see :func:`map_batched`)."""
+    L, _ = cache
+    kp = params["kernel"]
+    return map_batched(lambda c: _var_grad(kernel, kp, X, L, c), Xnew, batch)

@@ -26,7 +26,7 @@ from .kernels import Kernel, positive
 from .linalg import safe_cholesky, tri_solve
 
 __all__ = ["elbo", "sgpr_posterior", "predict", "predict_mean_grad",
-           "predict_var_grad"]
+           "predict_mean_grad_batched", "predict_var_grad"]
 
 _LOG2PI = math.log(2.0 * math.pi)
 
@@ -113,10 +113,16 @@ def predict_var_grad(kernel: Kernel, params, cache, Xnew):
 @partial(jax.jit, static_argnums=0)
 def predict_mean_grad(kernel: Kernel, params, beta, Xnew):
     """dμ/dx* for the sparse posterior: [S, Q] (same contract as exact)."""
-    kp = params["kernel"]
-    Z = params["Z"]
+    from .exact import weighted_kernel_grad
+    return weighted_kernel_grad(kernel, params["kernel"], params["Z"],
+                                beta, Xnew)
 
-    def mean_one(x):
-        return (kernel.K(kp, x[None, :], Z)[0] * beta).sum()
 
-    return jax.vmap(jax.grad(mean_one))(Xnew)
+@partial(jax.jit, static_argnums=(0, 4))
+def predict_mean_grad_batched(kernel: Kernel, params, beta, Xnew,
+                              batch: int = 8192):
+    """dμ/dx* in ``batch``-row chunks (scales to M in the millions)."""
+    from .exact import map_batched, weighted_kernel_grad
+    kp, Z = params["kernel"], params["Z"]
+    return map_batched(lambda c: weighted_kernel_grad(kernel, kp, Z, beta, c),
+                       Xnew, batch)

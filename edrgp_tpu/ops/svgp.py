@@ -35,7 +35,8 @@ from .kernels import Kernel, positive
 from .linalg import safe_cholesky, tri_solve
 
 __all__ = ["SVGPState", "init_svgp_state", "q_from_natural", "svgp_elbo",
-           "natural_gradient_update", "svgp_predict", "svgp_predict_mean_grad"]
+           "natural_gradient_update", "svgp_predict", "svgp_predict_mean_grad",
+           "svgp_predict_mean_grad_batched"]
 
 _LOG2PI = math.log(2.0 * math.pi)
 
@@ -153,18 +154,32 @@ def svgp_predict(kernel: Kernel, params, m, S, Xnew,
     return mu, var
 
 
-@partial(jax.jit, static_argnums=0)
-def svgp_predict_mean_grad(kernel: Kernel, params, m, Xnew):
-    """dμ/dx*: [S, Q].  μ(x*) = k(x*,Z) Kuu⁻¹ m ⇒ same autodiff pattern as
-    the exact/SGPR predictive gradient (G4 contract)."""
+def _mean_grad_beta(kernel: Kernel, params, m):
+    """β = Kuu⁻¹ m, the test-point-independent weights of dμ/dx*."""
     Z = params["Z"]
     Kuu = kernel.K(params["kernel"], Z, Z)
     Luu = safe_cholesky(Kuu)
     beta = tri_solve(Luu, m[:, None], lower=True)
-    beta = tri_solve(Luu, beta, lower=True, trans=True)[:, 0]  # Kuu⁻¹ m
-    kp = params["kernel"]
+    return tri_solve(Luu, beta, lower=True, trans=True)[:, 0]
 
-    def mean_one(x):
-        return (kernel.K(kp, x[None, :], Z)[0] * beta).sum()
 
-    return jax.vmap(jax.grad(mean_one))(Xnew)
+@partial(jax.jit, static_argnums=0)
+def svgp_predict_mean_grad(kernel: Kernel, params, m, Xnew):
+    """dμ/dx*: [S, Q].  μ(x*) = k(x*,Z) Kuu⁻¹ m ⇒ same autodiff pattern as
+    the exact/SGPR predictive gradient (G4 contract)."""
+    from .exact import weighted_kernel_grad
+    beta = _mean_grad_beta(kernel, params, m)
+    return weighted_kernel_grad(kernel, params["kernel"], params["Z"],
+                                beta, Xnew)
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def svgp_predict_mean_grad_batched(kernel: Kernel, params, m, Xnew,
+                                   batch: int = 8192):
+    """dμ/dx* in ``batch``-row chunks — the EDR-at-scale extraction path
+    (M can be the full training set; β is computed once, outside the map)."""
+    from .exact import map_batched, weighted_kernel_grad
+    beta = _mean_grad_beta(kernel, params, m)
+    kp, Z = params["kernel"], params["Z"]
+    return map_batched(lambda c: weighted_kernel_grad(kernel, kp, Z, beta, c),
+                       Xnew, batch)

@@ -246,3 +246,71 @@ def test_mean_function_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(gp2.predict(X), gp.predict(X), rtol=1e-6)
     Xfar = np.array([[20.0]])
     np.testing.assert_allclose(gp2.predict(Xfar), gp.predict(Xfar), rtol=1e-6)
+
+
+def test_batched_gradients_match_one_shot():
+    """The chunked (lax.map) gradient path must equal the one-shot vmap
+    path exactly, including the padded remainder chunk (VERDICT r3 #1:
+    the EDR-at-scale extraction path)."""
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(50, 3))
+    y = np.sin(X[:, 0]) + X[:, 1] ** 2 + 0.1 * rng.normal(size=50)
+    gp = GaussianProcessRegressor()
+    gp.fit(X, y)
+    Xnew = rng.normal(size=(37, 3))  # 37 % 16 != 0 → exercises padding
+
+    m = gp.estimator_
+    one_shot_mu = exact.predict_mean_grad(
+        m.kernel, m.params, m._X, m._posterior()[1], jnp.asarray(Xnew))
+    batched_mu = exact.predict_mean_grad_batched(
+        m.kernel, m.params, m._X, m._posterior()[1], jnp.asarray(Xnew), 16)
+    np.testing.assert_allclose(np.asarray(batched_mu),
+                               np.asarray(one_shot_mu), rtol=1e-12)
+
+    one_shot_var = exact.predict_var_grad(
+        m.kernel, m.params, m._X, m._posterior(), jnp.asarray(Xnew))
+    batched_var = exact.predict_var_grad_batched(
+        m.kernel, m.params, m._X, m._posterior(), jnp.asarray(Xnew), 16)
+    np.testing.assert_allclose(np.asarray(batched_var),
+                               np.asarray(one_shot_var), rtol=1e-12)
+
+    # model-layer entry point with explicit batch == auto batch
+    dmu_b, dvar_b = m.predictive_gradients(Xnew, batch=16)
+    dmu_a, dvar_a = m.predictive_gradients(Xnew)
+    np.testing.assert_allclose(dmu_b, dmu_a, rtol=1e-12)
+    np.testing.assert_allclose(dvar_b, dvar_a, rtol=1e-12)
+
+
+def test_batched_gradients_sgpr_svgp():
+    """Sparse-model batched gradient paths (SGPR β-weights, SVGP Kuu⁻¹m
+    weights) equal their one-shot counterparts."""
+    from edrgp_tpu.ops import sgpr as _sgpr
+    from edrgp_tpu.ops import svgp as _svgp
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(60, 2))
+    y = np.tanh(X @ np.array([0.7, -0.4])) + 0.05 * rng.normal(size=60)
+
+    sp = SparseGaussianProcessRegressor(num_inducing=12)
+    sp.fit(X, y)
+    m = sp.estimator_
+    Xnew = rng.normal(size=(23, 2))
+    ref = _sgpr.predict_mean_grad(m.kernel, m.params, m._posterior()[2],
+                                  jnp.asarray(Xnew))
+    got = _sgpr.predict_mean_grad_batched(m.kernel, m.params,
+                                          m._posterior()[2],
+                                          jnp.asarray(Xnew), 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-12)
+
+    from edrgp_tpu.models.svgp import SVGPRegressor
+    sv = SVGPRegressor(num_inducing=16)
+    sv.fit(X, y, max_iters=50)
+    msv = sv.estimator_
+    mvec, _ = msv._mS()
+    ref = _svgp.svgp_predict_mean_grad(msv.kernel, msv.params, mvec,
+                                       jnp.asarray(Xnew))
+    got = _svgp.svgp_predict_mean_grad_batched(msv.kernel, msv.params, mvec,
+                                               jnp.asarray(Xnew), 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-12)
+    dmu_b, _ = msv.predictive_gradients(Xnew, batch=8)
+    dmu_a, _ = msv.predictive_gradients(Xnew)
+    np.testing.assert_allclose(dmu_b, dmu_a, rtol=1e-12)
