@@ -273,33 +273,30 @@ class IterativeEDR(BaseEDR):
         return self.components_[best, :]
 
 
-class BlockEDR(BaseEDR):
-    """EDR with a block-diagonal projector over user-specified column blocks.
+class _BlockFitMixin:
+    """Block-diagonal projector fitting shared by :class:`BlockEDR` and the
+    user-facing ``EffectiveDimensionalityReduction`` block mode (the
+    reference intended but never shipped the latter — its
+    ``test_block_preprocessing`` is commented out and its EDR ctor lacks
+    ``blocks``; reference ``tests/test_edr.py:200-222``)."""
 
-    ``blocks`` is a list of column-index lists; a transformer clone is fitted
-    per block on the corresponding gradient sub-matrix and the per-block
-    projectors are assembled block-diagonally (reference ``base.py:520-766``).
-    ``n_components`` may be an int (shared) or a per-block list.
-    """
-
-    def __init__(self, estimator, transformer, n_components=None, blocks=None):
-        super().__init__(estimator, transformer, n_components)
-        self.blocks = blocks
-
-    def _fit_transformer(self, X):
+    def _fit_transformer_blocks(self, X):
         check_is_fitted(self, "estimator_")
-        n_features = X.shape[1]
-        self._make_blocks(n_features)
-
         grad = self._get_estimator_gradients(X)
         if self.num_iter == 0:
             self._first_gradients_ = grad
+        # Blocks index GRADIENT columns — under a preprocessor the gradients
+        # are mapped back to the normalized-feature space, so blocks always
+        # refer to input features regardless of preprocessing.
+        self._make_blocks(grad.shape[1])
 
         per_block = [
             self._fit_single_block(clone(self.transformer), grad, block)
             for block in self.blocks_
         ]
         self.components_ = self._merge_components(per_block)
+        # Block mode is single-pass: no component-dropping iteration.
+        self.continue_iteration = False
         return self
 
     def _fit_single_block(self, transformer, grads, block, index=None,
@@ -330,7 +327,7 @@ class BlockEDR(BaseEDR):
             start = stop
         return merged.T
 
-    def refit(self, refit_transformer, index=None, params=None):
+    def refit_blocks(self, refit_transformer, index=None, params=None):
         n_features = self._first_gradients_.shape[1]
         self._make_blocks(n_features)
         self.refit_transformer_ = clone(refit_transformer)
@@ -381,3 +378,23 @@ class BlockEDR(BaseEDR):
                     for block in self.blocks
                 ]
         return self
+
+
+class BlockEDR(_BlockFitMixin, BaseEDR):
+    """EDR with a block-diagonal projector over user-specified column blocks.
+
+    ``blocks`` is a list of column-index lists; a transformer clone is fitted
+    per block on the corresponding gradient sub-matrix and the per-block
+    projectors are assembled block-diagonally (reference ``base.py:520-766``).
+    ``n_components`` may be an int (shared) or a per-block list.
+    """
+
+    def __init__(self, estimator, transformer, n_components=None, blocks=None):
+        super().__init__(estimator, transformer, n_components)
+        self.blocks = blocks
+
+    def _fit_transformer(self, X):
+        return self._fit_transformer_blocks(X)
+
+    def refit(self, refit_transformer, index=None, params=None):
+        return self.refit_blocks(refit_transformer, index, params)

@@ -14,31 +14,75 @@ from sklearn.preprocessing import StandardScaler
 from sklearn.utils import check_array
 from sklearn.utils.validation import check_is_fitted
 
-from .base import IterativeEDR
+from .base import IterativeEDR, _BlockFitMixin
 
 __all__ = ["EffectiveDimensionalityReduction"]
 
 
-class EffectiveDimensionalityReduction(IterativeEDR):
+class EffectiveDimensionalityReduction(_BlockFitMixin, IterativeEDR):
     """Effective dimensionality reduction with preprocessing.
 
     Parameters
     ----------
     estimator : object — gradient-capable supervised estimator.
     dr_transformer : object — linear DR method exposing ``components_``.
-    n_components, step : see :class:`IterativeEDR`.
+    n_components, step : see :class:`IterativeEDR`.  ``n_components`` may
+        also be a per-block list (block mode, see ``blocks``).
     normalize : bool (default True) — StandardScaler the inputs before
         fitting; learned components are mapped back through the inverse
         scaling so ``transform`` stays a pure linear map on raw features.
     preprocessor : optional linear preprocessor (PCA, SparsePCA, ...)
         applied after normalization; requires ``normalize=True``.
+    blocks : optional list of feature-index lists — fit one transformer
+        clone per block of GRADIENT columns and assemble a block-diagonal
+        projector, composed with normalization/preprocessing.  Giving
+        ``n_components`` as a list with ``blocks=None`` auto-splits the
+        features into ``len(n_components)`` contiguous near-equal blocks.
+        Block mode is single-pass (``step`` must be None).  This implements
+        the reference's intended-but-unshipped behavior: its
+        ``test_block_preprocessing`` (``tests/test_edr.py:200-222``) drives
+        exactly this surface while its EDR ctor never took ``blocks``.
     """
 
     def __init__(self, estimator=None, dr_transformer=None, n_components=None,
-                 step=None, normalize=True, preprocessor=None):
+                 step=None, normalize=True, preprocessor=None, blocks=None):
         self.normalize = normalize
         self.preprocessor = preprocessor
+        self.blocks = blocks
         super().__init__(estimator, dr_transformer, n_components, step)
+
+    @property
+    def _block_mode(self):
+        return (self.blocks is not None
+                or isinstance(self.n_components, (list, tuple)))
+
+    def _fit_transformer(self, X):
+        if self._block_mode:
+            return self._fit_transformer_blocks(X)
+        return super()._fit_transformer(X)
+
+    def _make_blocks(self, n_features):
+        if self.blocks is None and isinstance(self.n_components_,
+                                              (list, tuple)):
+            # blocks=None + per-block n_components: contiguous auto-split
+            # (required by the reference's aspirational block test).
+            cols = np.array_split(np.arange(n_features),
+                                  len(self.n_components_))
+            self.blocks_ = [{"columns": c, "n_components": int(k)}
+                            for c, k in zip(cols, self.n_components_)]
+            return self
+        return super()._make_blocks(n_features)
+
+    def _check_step(self, n_features):
+        if self._block_mode:
+            if self.step is not None:
+                raise ValueError("block mode is single-pass: step must be "
+                                 "None when blocks/per-block n_components "
+                                 "are given")
+            self.adaptive_step = False
+            self.step_ = None
+            return
+        super()._check_step(n_features)
 
     # `transformer` is named `dr_transformer` in this class's public API;
     # keep sklearn get_params/clone consistent.
@@ -58,13 +102,13 @@ class EffectiveDimensionalityReduction(IterativeEDR):
         return self.transformer_
 
     def _get_param_names(self):  # pragma: no cover - sklearn plumbing
-        return ["dr_transformer", "estimator", "n_components", "normalize",
-                "preprocessor", "step"]
+        return ["blocks", "dr_transformer", "estimator", "n_components",
+                "normalize", "preprocessor", "step"]
 
     @classmethod
     def _get_param_names_cls(cls):
-        return ["dr_transformer", "estimator", "n_components", "normalize",
-                "preprocessor", "step"]
+        return ["blocks", "dr_transformer", "estimator", "n_components",
+                "normalize", "preprocessor", "step"]
 
     def get_params(self, deep=True):
         return {
@@ -74,6 +118,7 @@ class EffectiveDimensionalityReduction(IterativeEDR):
             "step": self.step,
             "normalize": self.normalize,
             "preprocessor": self.preprocessor,
+            "blocks": self.blocks,
         }
 
     # ------------------------------------------------------------------ fit

@@ -188,6 +188,67 @@ def test_block():
     assert X_refit.shape[1] <= 6
 
 
+@pytest.mark.parametrize("normalize,preprocessor",
+                         [(False, None),
+                          (True, None),
+                          (True, PCA(n_components=5))])
+def test_block_preprocessing(normalize, preprocessor):
+    """EffectiveDimensionalityReduction block mode composed with
+    normalization/preprocessing — the reference's last commented-out case
+    (reference tests/test_edr.py:200-222; its EDR ctor never shipped
+    ``blocks``)."""
+    rng = np.random.default_rng(0)
+    X = get_beta_inputs(300, 10, rng=rng)
+    B = np.linalg.qr(random_sparse(10, 3, density=0.4,
+                                   random_state=0).toarray())[0]
+    B[:5, :2] = 0
+    B[5:, 2:] = 0
+    y = get_edr_target(X @ B, 0.1, rng=rng)
+
+    gp_model = GaussianProcessRegressor(["RBF"], [{"ARD": True}])
+    edr = EffectiveDimensionalityReduction(gp_model, SVDTransformer(),
+                                           blocks=None,
+                                           n_components=[2, 2],
+                                           normalize=normalize,
+                                           preprocessor=preprocessor)
+    edr.fit(X, y)
+    X_transform = edr.transform(X)
+    grads = edr.get_estimator_gradients(X)
+    assert grads.shape == X.shape
+    assert X_transform.shape == (300, 4)
+
+
+def test_block_mode_explicit_blocks_and_structure():
+    """Explicit blocks on the user-facing class keep the block-diagonal
+    structure after un-scaling (diagonal scaling preserves zero patterns)."""
+    rng = np.random.default_rng(0)
+    X = get_beta_inputs(300, 10, rng=rng)
+    B = np.linalg.qr(random_sparse(10, 3, density=0.4,
+                                   random_state=0).toarray())[0]
+    B[:5, :2] = 0
+    B[5:, 2:] = 0
+    y = get_edr_target(X @ B, 0.1, rng=rng)
+
+    gp_model = GaussianProcessRegressor(["RBF"], [{"ARD": True}])
+    edr = EffectiveDimensionalityReduction(
+        gp_model, SVDTransformer(), n_components=[2, 2],
+        blocks=[list(range(5)), list(range(5, 10))], normalize=True)
+    edr.fit(X, y)
+    assert edr.transform(X).shape == (300, 4)
+    assert np.all(edr.components_.T[5:, :2] == 0)
+    assert np.all(edr.components_.T[:5, 2:4] == 0)
+
+    # sklearn plumbing: blocks round-trips through get_params/clone
+    from sklearn.base import clone as sk_clone
+    assert sk_clone(edr).blocks == edr.blocks
+
+    # step is incompatible with single-pass block mode
+    bad = EffectiveDimensionalityReduction(gp_model, SVDTransformer(),
+                                           n_components=[2, 2], step=1)
+    with pytest.raises(ValueError):
+        bad.fit(X, y)
+
+
 def test_feature_importances_and_inverse_transform():
     X, y = get_2d_data()
     edr = EffectiveDimensionalityReduction(
