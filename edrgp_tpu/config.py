@@ -165,3 +165,29 @@ def set_lauum_precision(name: str | None):
     global _LAUUM_PRECISION
     _LAUUM_PRECISION = (None if name is None
                         else getattr(jax.lax.Precision, name.upper()))
+
+
+#: MXU precision for kernel-matrix construction matmuls (the sq-dist /
+#: inner-product gemms in :mod:`edrgp_tpu.ops.kernels`).  K-construction is
+#: bandwidth-bound (Q small), so the extra passes of HIGHEST are ~free, and
+#: single-pass bf16 perturbs K by ~1e-2·‖x‖² — enough to turn the NLML into
+#: a rough surface that collapses NUTS step-size adaptation (the r3 lesson,
+#: results/tpu_nuts_r3b.log).  Routed through config like the adjoint/lauum
+#: precisions so it stays tunable per platform/workload (ADVICE r3).
+_KERNEL_PRECISION = None
+
+
+def kernel_precision():
+    """Resolved ``lax.Precision`` for kernel-matrix construction gemms."""
+    global _KERNEL_PRECISION
+    if _KERNEL_PRECISION is None:
+        import os
+        name = os.environ.get("EDRGP_KERNEL_PRECISION", "highest").upper()
+        _KERNEL_PRECISION = getattr(jax.lax.Precision, name)
+    return _KERNEL_PRECISION
+
+
+def set_kernel_precision(name: str | None):
+    global _KERNEL_PRECISION
+    _KERNEL_PRECISION = (None if name is None
+                         else getattr(jax.lax.Precision, name.upper()))

@@ -71,23 +71,26 @@ def _safe_sqrt(r2: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.maximum(r2, 1e-36))
 
 
-#: Precision for the O(N²Q) kernel-matrix matmuls.  These are
-#: bandwidth-bound (Q is small), so extra MXU passes are free — and the
-#: DEFAULT single-pass bf16 product is NOT acceptable here: it perturbs
-#: K by ~1e-2·‖x‖² absolute, which rivals the likelihood noise floor σ²
-#: and turns the NLML into a rough surface.  L-BFGS tolerates that
-#: roughness; MCMC does not — the first TPU NUTS captures collapsed to
-#: ε≈1e-4 with split-R̂ in the hundreds because dual averaging was
-#: chasing bf16 noise, not posterior curvature
-#: (results/tpu_nuts_r3b.log, first run).
-_KPREC = jax.lax.Precision.HIGHEST
+def _KPREC():
+    """Precision for the O(N²Q) kernel-matrix matmuls, resolved at trace
+    time from :func:`edrgp_tpu.config.kernel_precision` (default HIGHEST).
+
+    K-construction is bandwidth-bound (Q is small), so extra MXU passes are
+    free — and the DEFAULT single-pass bf16 product is NOT acceptable here:
+    it perturbs K by ~1e-2·‖x‖² absolute, which rivals the likelihood noise
+    floor σ² and turns the NLML into a rough surface.  L-BFGS tolerates that
+    roughness; MCMC does not — the first TPU NUTS captures collapsed to
+    ε≈1e-4 with split-R̂ in the hundreds because dual averaging was chasing
+    bf16 noise, not posterior curvature (results/tpu_nuts_r3b.log)."""
+    from ..config import kernel_precision
+    return kernel_precision()
 
 
 def sq_dist(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     """Pairwise squared distances ‖aᵢ−bⱼ‖² via the MXU-friendly matmul trick."""
     a2 = jnp.sum(A * A, axis=-1)[:, None]
     b2 = jnp.sum(B * B, axis=-1)[None, :]
-    ab = jnp.matmul(A, B.T, precision=_KPREC)
+    ab = jnp.matmul(A, B.T, precision=_KPREC())
     return jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
 
 
@@ -313,7 +316,7 @@ class Linear(Kernel):
     def K(self, params, X1, X2):
         v = positive(params["variances"])
         X1, X2 = self._slice(X1), self._slice(X2)
-        return jnp.matmul(X1 * v, X2.T, precision=_KPREC)
+        return jnp.matmul(X1 * v, X2.T, precision=_KPREC())
 
     def Kdiag(self, params, X):
         v = positive(params["variances"])
@@ -386,7 +389,7 @@ class Poly(Kernel):
         s = positive(params["scale"])
         b = positive(params["bias"])
         X1, X2 = self._slice(X1), self._slice(X2)
-        return v * (s * jnp.matmul(X1, X2.T, precision=_KPREC) + b) ** self.order
+        return v * (s * jnp.matmul(X1, X2.T, precision=_KPREC()) + b) ** self.order
 
     def Kdiag(self, params, X):
         v = positive(params["variance"])
@@ -426,7 +429,7 @@ class MLP(Kernel):
         w = positive(params["weight_variance"])
         b = positive(params["bias_variance"])
         X1, X2 = self._slice(X1), self._slice(X2)
-        prod = jnp.matmul(X1 * w, X2.T, precision=_KPREC) + b
+        prod = jnp.matmul(X1 * w, X2.T, precision=_KPREC()) + b
         d1 = jnp.sum(X1 * X1 * w, axis=-1) + b
         d2 = jnp.sum(X2 * X2 * w, axis=-1) + b
         denom = jnp.sqrt((1.0 + 2.0 * d1)[:, None] * (1.0 + 2.0 * d2)[None, :])

@@ -73,10 +73,12 @@ def test_curvature_inv_mass():
     im = curvature_inv_mass(gauss_logprob, MU)
     np.testing.assert_allclose(np.asarray(im),
                                1.0 / np.diag(np.asarray(PREC)), rtol=1e-5)
-    # flat direction (no curvature) falls back to unit mass
-    flat = curvature_inv_mass(lambda q: q[0] * 0.0 - 0.5 * q[1] ** 2,
+    # flat direction (no curvature) falls back to unit mass; the curved
+    # dimension uses NON-unit curvature 2 (−q²) so the computed branch
+    # (inv mass 0.5) is distinguishable from the fallback (1.0) — ADVICE r3.
+    flat = curvature_inv_mass(lambda q: q[0] * 0.0 - q[1] ** 2,
                               jnp.zeros(2))
-    np.testing.assert_allclose(np.asarray(flat), [1.0, 1.0], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(flat), [1.0, 0.5], rtol=1e-5)
 
     # diag scales (10, 0.1): identity mass needs ~100-leapfrog trees;
     # curvature mass should mix with shallow trees and sane moments
