@@ -14,10 +14,13 @@ numbers (the only quality numbers the reference publishes anywhere):
 
 The notebooks fixed a legacy ``np.random.seed`` stream we cannot (and
 should not) bit-replay, so each workload runs over SEEDS independent
-seeds and reports mean/std/min/max alongside the published value; parity
-holds when the published number lies inside the Monte-Carlo band (or the
-native result is strictly better).  Principal angles between recovered
-and true subspaces are recorded where ground truth exists.
+seeds and reports mean/std/min/max alongside the published value.  The
+parity criterion is FALSIFIABLE (VERDICT r3 weak #3 replaced the old
+``min − 2σ`` band that could not fail): parity holds iff the native mean
+is strictly better than the published value OR the published value lies
+within native mean ± 2·SEM.  Workloads that fail the gate carry a
+committed ``root_cause`` note.  Principal angles between recovered and
+true subspaces are recorded where ground truth exists.
 
 Runs on CPU in float64 (the reference's numerics).  Writes
 results/PARITY_RUNS.json and prints one JSON line per workload.
@@ -48,8 +51,12 @@ from edrgp_tpu.datasets import (get_beta_inputs, get_edr_target,
 from edrgp_tpu.models import GaussianProcessRegressor
 from edrgp_tpu.utils import discrepancy
 
-SEEDS = [0, 1, 2, 3, 4]
+SEEDS = list(range(20))
 RESULTS = []
+
+#: Root-cause notes for workloads that fail the mean-level gate (attached
+#: to their records; VERDICT r3 #6 requires parity or a committed note).
+ROOT_CAUSES = {}
 
 
 def principal_angles_deg(A, B):
@@ -62,16 +69,22 @@ def principal_angles_deg(A, B):
 
 def record(workload, published, runs, better_is="lower", extra=None):
     runs = [float(r) for r in runs]
-    mean, std = float(np.mean(runs)), float(np.std(runs))
+    mean, std = float(np.mean(runs)), float(np.std(runs, ddof=1))
+    sem = std / np.sqrt(len(runs))
     lo, hi = float(min(runs)), float(max(runs))
-    if better_is == "lower":
-        ok = (published >= lo - 2 * std) or (mean <= published)
-    else:
-        ok = (published <= hi + 2 * std) or (mean >= published)
+    # Falsifiable gate: native mean strictly better, or published within
+    # mean ± 2·SEM.  (The published number is a single legacy-seed draw of
+    # the same statistic, so mean-level agreement is the honest criterion.)
+    mean_better = (mean <= published if better_is == "lower"
+                   else mean >= published)
+    ok = mean_better or abs(mean - published) <= 2 * sem
     rec = {"workload": workload, "published_reference": published,
            "native_mean": round(mean, 4), "native_std": round(std, 4),
+           "native_sem": round(float(sem), 4),
            "native_min": round(lo, 4), "native_max": round(hi, 4),
            "seeds": len(runs), "better_is": better_is, "parity": bool(ok)}
+    if not ok and workload in ROOT_CAUSES:
+        rec["root_cause"] = ROOT_CAUSES[workload]
     if extra:
         rec.update(extra)
     RESULTS.append(rec)
