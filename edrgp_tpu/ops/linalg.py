@@ -324,6 +324,111 @@ def sym_square_from_tri_inv(Linv: jnp.ndarray, block: int = 1024,
     return jnp.concatenate(rows, axis=0)[:n, :n]
 
 
+def _split_point(n: int, align: int = 256) -> int:
+    """Half-split rounded to a lane-aligned boundary."""
+    return max(align, ((n // 2) + align - 1) // align * align)
+
+
+def tri_inv_dc(L: jnp.ndarray, leaf: int = 1024,
+               precision=None) -> jnp.ndarray:
+    """L⁻¹ via divide-and-conquer on the 2×2 block partition.
+
+        [[A, 0], [B, C]]⁻¹ = [[A⁻¹, 0], [−C⁻¹·(B·A⁻¹), C⁻¹]]
+
+    All O(N³) work lands in TWO half-size near-square gemms per level —
+    the best MXU shapes available — versus the column-blocked recursion's
+    ~P²/2 skinny strip gemms (:func:`tri_inv_blocked`).  ~N³·2/3 gemm
+    flops (2× the column-blocked count) traded for utilization; error
+    compounds over log₂(N/leaf) levels instead of P panels.
+    """
+    prec = adjoint_precision() if precision is None else precision
+    n = L.shape[-1]
+    if n <= leaf:
+        return tri_solve(L, jnp.eye(n, dtype=L.dtype), lower=True)
+    h = _split_point(n)
+    A, B, C = L[:h, :h], L[h:, :h], L[h:, h:]
+    Ai = tri_inv_dc(A, leaf, precision)
+    Ci = tri_inv_dc(C, leaf, precision)
+    lower = -jnp.matmul(Ci, jnp.matmul(B, Ai, precision=prec),
+                        precision=prec)
+    top = jnp.concatenate([Ai, jnp.zeros((h, n - h), L.dtype)], axis=1)
+    return jnp.concatenate(
+        [top, jnp.concatenate([lower, Ci], axis=1)], axis=0)
+
+
+def tri_inv_rowbatch(L: jnp.ndarray, block: int = 1024,
+                     precision=None) -> jnp.ndarray:
+    """L⁻¹ by rows: the column-blocked recursion's per-(i,j) strip gemms
+    batched into ONE [b, ib]·[ib, ib] gemm per block-row (then one Dinv
+    gemm).  2P launches instead of ~P², at ~1.35× the gemm flops (the
+    row gemm multiplies the strictly-upper zeros too)."""
+    prec = adjoint_precision() if precision is None else precision
+    n = L.shape[-1]
+    if n <= block:
+        return tri_solve(L, jnp.eye(n, dtype=L.dtype), lower=True)
+    Lp, P = _pad_tri(L, block)
+    b = block
+    eye_b = jnp.eye(b, dtype=L.dtype)
+    inv = jnp.zeros_like(Lp)
+    Dinv0 = tri_solve(Lp[:b, :b], eye_b, lower=True)
+    inv = inv.at[:b, :b].set(Dinv0)
+    for i in range(1, P):
+        s, e = i * b, (i + 1) * b
+        Dinv = tri_solve(Lp[s:e, s:e], eye_b, lower=True)
+        S = jnp.matmul(Lp[s:e, :s], inv[:s, :s], precision=prec)  # [b, ib]
+        inv = inv.at[s:e, :s].set(-jnp.matmul(Dinv, S, precision=prec))
+        inv = inv.at[s:e, s:e].set(Dinv)
+    return inv[:n, :n]
+
+
+def sym_square_dc(Linv: jnp.ndarray, leaf: int = 1024,
+                  precision=None) -> jnp.ndarray:
+    """Linvᵀ·Linv via divide-and-conquer.  With Linv = [[A, 0], [B, C]]:
+
+        [[AᵀA + BᵀB,  BᵀC],
+         [CᵀB,        CᵀC]]
+
+    — per level one syrk-shaped and one near-square gemm, vs the blocked
+    lauum's ~P²/2 tall-skinny pair gemms (:func:`sym_square_from_tri_inv`).
+    """
+    from ..config import lauum_precision
+    prec = lauum_precision() if precision is None else precision
+    n = Linv.shape[-1]
+    if n <= leaf:
+        return jnp.matmul(Linv.T, Linv, precision=prec)
+    h = _split_point(n)
+    A, B, C = Linv[:h, :h], Linv[h:, :h], Linv[h:, h:]
+    TL = sym_square_dc(A, leaf, precision) + jnp.matmul(B.T, B,
+                                                        precision=prec)
+    TR = jnp.matmul(B.T, C, precision=prec)
+    BR = sym_square_dc(C, leaf, precision)
+    return jnp.concatenate(
+        [jnp.concatenate([TL, TR], axis=1),
+         jnp.concatenate([TR.T, BR], axis=1)], axis=0)
+
+
+def sym_square_colbatch(Linv: jnp.ndarray, block: int = 1024,
+                        precision=None) -> jnp.ndarray:
+    """Linvᵀ·Linv with the blocked lauum's per-(i,j) pair gemms batched
+    into ONE [(j+1)b, N−jb]ᵀ·[N−jb, b] gemm per block-column — identical
+    flops, P launches instead of P(P+1)/2."""
+    from ..config import lauum_precision
+    prec = lauum_precision() if precision is None else precision
+    n = Linv.shape[-1]
+    if n <= block:
+        return jnp.matmul(Linv.T, Linv, precision=prec)
+    Lp, P = _pad_tri(Linv, block)
+    b = block
+    out = jnp.zeros_like(Lp)
+    for j in range(P):
+        s = j * b
+        colj = jnp.matmul(Lp[s:, :s + b].T, Lp[s:, s:s + b],
+                          precision=prec)               # [(j+1)b, b]
+        out = out.at[:s + b, s:s + b].set(colj)
+        out = out.at[s:s + b, :s].set(colj[:s].T)
+    return out[:n, :n]
+
+
 @jax.custom_vjp
 def logdet_and_quad(Ky: jnp.ndarray, y: jnp.ndarray):
     """(log|Ky|, yᵀKy⁻¹y) with an analytic adjoint.

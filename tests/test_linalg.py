@@ -156,3 +156,33 @@ def test_cholesky_once_routes_f32_through_blocked_v2():
     err = float(jnp.linalg.norm(jnp.tril(L2) - jnp.tril(ref))
                 / jnp.linalg.norm(jnp.tril(ref)))
     assert err < 2e-5
+
+
+class TestKinvVariants:
+    """The D&C / batched-gemm reformulations of trtri+lauum (r4 headline
+    sweep candidates) must agree with the production blocked versions."""
+
+    def _L(self, n=700, seed=0):
+        rng = np.random.default_rng(seed)
+        G = rng.normal(size=(n, 64))
+        A = G @ G.T + n * np.eye(n)
+        return np.linalg.cholesky(A)
+
+    def test_tri_inv_dc_and_rowbatch(self):
+        from edrgp_tpu.ops.linalg import tri_inv_dc, tri_inv_rowbatch
+        L = self._L()
+        ref = np.linalg.inv(L)
+        for fn, kw in ((tri_inv_dc, {"leaf": 256}),
+                       (tri_inv_rowbatch, {"block": 256})):
+            got = np.asarray(fn(jnp.asarray(L), **kw))
+            np.testing.assert_allclose(got, ref, rtol=0, atol=1e-8)
+
+    def test_sym_square_dc_and_colbatch(self):
+        from edrgp_tpu.ops.linalg import (sym_square_colbatch, sym_square_dc)
+        L = self._L()
+        Linv = np.linalg.inv(L)
+        ref = Linv.T @ Linv
+        for fn, kw in ((sym_square_dc, {"leaf": 256}),
+                       (sym_square_colbatch, {"block": 256})):
+            got = np.asarray(fn(jnp.asarray(Linv), **kw))
+            np.testing.assert_allclose(got, ref, rtol=0, atol=1e-8)
