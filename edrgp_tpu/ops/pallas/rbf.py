@@ -44,22 +44,49 @@ def _pad_rows(a, target):
 # K(X1, X2) = σ² exp(−½‖x1/ℓ − x2/ℓ‖²)
 # --------------------------------------------------------------------------
 
-def _kmat_kernel(x1_ref, x2_ref, sig_ref, out_ref):
+def _dot(a, b, precision, b_dim=1):
+    """MXU dot contracting a's dim 1 with b's dim ``b_dim``, at the
+    requested precision.
+
+    Mosaic's single-pass f32 dot rounds operands to bf16 (~5e-3 relative
+    error on K — acceptable for subspace extraction, not for parity-grade
+    prediction).  ``precision='high'`` emulates fp32 with the classic
+    3-pass hi/lo bf16 split (what XLA's HIGH does): a·b ≈ aₕbₕ + aₕbₗ +
+    aₗbₕ, recovering ~1e-6 relative error at 3× MXU passes.
+    """
+    dims = (((1,), (b_dim,)), ((), ()))
+    dot = lambda x, y: jax.lax.dot_general(  # noqa: E731
+        x, y, dims, preferred_element_type=jnp.float32)
+    if precision == "default":
+        return dot(a, b)
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    b_lo = b - b_hi
+    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+
+
+def _dot_nt(a, b, precision):
+    """a · bᵀ (contract both dim 1)."""
+    return _dot(a, b, precision, b_dim=1)
+
+
+def _kmat_kernel(x1_ref, x2_ref, sig_ref, out_ref, *, precision):
     a = x1_ref[:]                                   # [TM, Q]
     b = x2_ref[:]                                   # [TN, Q]
     a2 = jnp.sum(a * a, axis=1, keepdims=True)      # [TM, 1]
     b2 = jnp.sum(b * b, axis=1, keepdims=True).T    # [1, TN]
-    ab = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+    ab = _dot_nt(a, b, precision)
     sq = jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
     out_ref[:] = sig_ref[0, 0] * jnp.exp(-0.5 * sq)
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n",
-                                             "interpret"))
+                                             "interpret", "precision"))
 def rbf_kernel_matrix(X1s: jnp.ndarray, X2s: jnp.ndarray, sigma2,
                       *, block_m: int = 256, block_n: int = 256,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      precision: str = "default") -> jnp.ndarray:
     """σ²·exp(−½‖x1−x2‖²) for pre-scaled inputs X1s=[M,Q], X2s=[N,Q]."""
     M, Q = X1s.shape
     N = X2s.shape[0]
@@ -69,7 +96,7 @@ def rbf_kernel_matrix(X1s: jnp.ndarray, X2s: jnp.ndarray, sigma2,
     sig = jnp.asarray(sigma2, jnp.float32).reshape(1, 1)
 
     out = pl.pallas_call(
-        _kmat_kernel,
+        functools.partial(_kmat_kernel, precision=precision),
         grid=(Mp // block_m, Np // block_n),
         in_specs=[
             pl.BlockSpec((block_m, Q), lambda i, j: (i, 0),
@@ -90,7 +117,8 @@ def rbf_kernel_matrix(X1s: jnp.ndarray, X2s: jnp.ndarray, sigma2,
 # dμ/dx*: G[m] = Σᵢ αᵢ K(x*_m, xᵢ)(xᵢ − x*_m)  (scaled coords; ÷ℓ outside)
 # --------------------------------------------------------------------------
 
-def _gradmu_kernel(xs_ref, xt_ref, al_ref, sig_ref, g_ref, w_ref):
+def _gradmu_kernel(xs_ref, xt_ref, al_ref, sig_ref, g_ref, w_ref, *,
+                   precision):
     j = pl.program_id(1)
 
     a = xs_ref[:]                                   # [TM, Q] test tile
@@ -98,13 +126,11 @@ def _gradmu_kernel(xs_ref, xt_ref, al_ref, sig_ref, g_ref, w_ref):
     al = al_ref[:]                                  # [TN, 1]
     a2 = jnp.sum(a * a, axis=1, keepdims=True)
     b2 = jnp.sum(b * b, axis=1, keepdims=True).T
-    ab = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+    ab = _dot_nt(a, b, precision)
     sq = jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
     W = sig_ref[0, 0] * jnp.exp(-0.5 * sq) * al[:, 0][None, :]   # [TM, TN]
 
-    g_inc = jax.lax.dot_general(W, b, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+    g_inc = _dot(W, b, precision, b_dim=0)
     w_inc = jnp.sum(W, axis=1, keepdims=True)
 
     @pl.when(j == 0)
@@ -119,10 +145,11 @@ def _gradmu_kernel(xs_ref, xt_ref, al_ref, sig_ref, g_ref, w_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n",
-                                             "interpret"))
+                                             "interpret", "precision"))
 def rbf_grad_mu(Xnew: jnp.ndarray, X: jnp.ndarray, alpha: jnp.ndarray,
                 lengthscale, sigma2, *, block_m: int = 256,
-                block_n: int = 512, interpret: bool = False) -> jnp.ndarray:
+                block_n: int = 512, interpret: bool = False,
+                precision: str = "default") -> jnp.ndarray:
     """dμ/dx* for an RBF-ARD posterior mean μ(x*) = Σᵢ αᵢ k(x*, xᵢ).
 
     Xnew [M, Q], X [N, Q] unscaled; lengthscale scalar or [Q]; returns
@@ -143,7 +170,7 @@ def rbf_grad_mu(Xnew: jnp.ndarray, X: jnp.ndarray, alpha: jnp.ndarray,
     sig = jnp.asarray(sigma2, jnp.float32).reshape(1, 1)
 
     g_raw, w_sum = pl.pallas_call(
-        _gradmu_kernel,
+        functools.partial(_gradmu_kernel, precision=precision),
         grid=(Mp // block_m, Np // block_n),
         in_specs=[
             pl.BlockSpec((block_m, Q), lambda i, j: (i, 0),
