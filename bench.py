@@ -5,14 +5,20 @@ numbers (BASELINE.md), so ``vs_baseline`` is the speedup over the same
 computation in NumPy/LAPACK on this host's CPU — the reference's actual
 execution substrate (GPy bottoms out in LAPACK).
 
-Round-3 methodology fixes (VERDICT r2 weak #1/#4):
-  * the TPU number is the MEDIAN of 5 timed blocks of 10 evals each (the
-    previous single-block timing could not distinguish a 25% change from
-    tunnel noise); the block spread is reported alongside.
-  * the CPU baseline is a PINNED constant (measured once on this idle
-    host, provenance below) instead of being re-measured on a loaded host
-    every run — the old scheme swung vs_baseline by ±40% run to run.
-    Re-measure with ``python bench.py --measure-baseline``.
+Round-4 methodology fix: this round's host tunnel acknowledges
+``block_until_ready`` in ~0.05 ms for multi-ms programs
+(results/timing_probe_r4.log), so host-side dispatch-loop timing — the
+r1–r3 scheme — measures nothing here.  The value+grad eval is now timed
+with ``benchmarks/_timing.scan_ms_per_op``: k dependent evals chained in
+ONE program, a Σ|output| readback that forces every output element (DCE-
+and result-cache-proof), and the k-vs-1 difference cancelling RPC
+overhead.  Validated against physics on this host: 8192³ gemm at 77% of
+the v5e's 197-TFLOP/s bf16 peak (results/chip_calibration_r4b.log).
+
+Kept from round 3: the CPU baseline is a PINNED constant (measured once
+on this idle host, provenance below) instead of being re-measured on a
+loaded host every run.  Re-measure with ``python bench.py
+--measure-baseline``.
 
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
@@ -36,12 +42,25 @@ import numpy as np
 CPU_BASELINE_EVALS_PER_S = 4.55e-3
 
 
-def tpu_evals_per_s(N=10_000, Q=8, iters=10, blocks=5):
+def tpu_evals_per_s(N=10_000, Q=8, k=10, samples=5):
+    """Round-4 timing-harness fix: on this round's host the tunneled
+    runtime acks ``block_until_ready`` in ~0.05 ms for multi-ms programs
+    (results/timing_probe_r4.log), so the r1-r3 dispatch-loop timing is
+    unusable.  The eval is now timed with the dedupe/async/DCE-proof
+    harness (``benchmarks/_timing.scan_ms_per_op``): k dependent
+    value+grad evals chained inside ONE program through an output-derived
+    carry perturbation, a Σ|output| readback forcing every element, and
+    the k-vs-1 wall difference cancelling RPC overhead, over distinct
+    parameter points.
+    """
     import jax
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
+    from _timing import scan_ms_per_op
+
     from edrgp_tpu.ops import exact
     from edrgp_tpu.ops.kernels import RBF, inv_positive
 
@@ -50,28 +69,27 @@ def tpu_evals_per_s(N=10_000, Q=8, iters=10, blocks=5):
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.normal(size=(N, Q)), dtype)
     y = jnp.asarray(np.sin(rng.normal(size=N)), dtype)
-    params = {
-        "kernel": kernel.init_params(dtype),
-        "raw_noise": inv_positive(jnp.asarray(0.1, dtype)),
-    }
 
-    vg = jax.jit(jax.value_and_grad(lambda p: exact.nlml(kernel, p, X, y)))
-    out = vg(params)
-    jax.block_until_ready(out)  # compile
-    out = vg(params)
-    jax.block_until_ready(out)  # warm
+    def vg_op(params):
+        return jax.value_and_grad(lambda p: exact.nlml(kernel, p, X, y))(
+            params)
 
-    per_block = []
-    for _ in range(blocks):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = vg(params)
-        jax.block_until_ready(out)
-        per_block.append(iters / (time.perf_counter() - t0))
-    per_block.sort()
-    median = float(np.median(per_block))
-    spread = 100.0 * (per_block[-1] - per_block[0]) / median
-    return median, spread, float(out[0])
+    def params_at(seed):
+        key = jax.random.PRNGKey(seed)
+        p = {"kernel": kernel.init_params(dtype),
+             "raw_noise": inv_positive(jnp.asarray(0.1, dtype))}
+        return jax.tree_util.tree_map(
+            lambda a: a + 1e-3 * jax.random.normal(
+                jax.random.fold_in(key, 1), a.shape, a.dtype)
+            if a.ndim else a, p)
+
+    med_ms, sample_ms = scan_ms_per_op(
+        vg_op, [params_at(i) for i in range(samples + 1)], k=k)
+    rates = sorted(1e3 / s for s in sample_ms)
+    median = 1e3 / med_ms
+    spread = 100.0 * (rates[-1] - rates[0]) / median
+    nlml0 = float(vg_op(params_at(0))[0])
+    return median, spread, nlml0
 
 
 def measure_cpu_baseline(N_meas=2500, N_target=10_000, Q=8):
