@@ -1,0 +1,221 @@
+"""EDR end-to-end ON THE TPU at scale — the north-star capstone (VERDICT r3
+missing #1): the reference's core loop (fit → predictive gradients → SVD →
+projector, ``/root/reference/edrgp/base.py:89-199``) executing on-chip in
+float32 at N ≥ 1M with the SVGP estimator and the native streaming loader,
+with recorded subspace recovery against a known sparse 3-D effective
+subspace.
+
+Two drive modes:
+
+  python benchmarks/edr_scale_tpu.py            # TPU phase (default)
+  python benchmarks/edr_scale_tpu.py cpu-compare  # CPU f64 agreement phase
+
+The TPU phase records, per stage (stream-fit / gradient extraction / SVD /
+projector, plus the full user-facing ``EffectiveDimensionalityReduction``
+composition), wall-clock and quality (discrepancy + principal angles vs
+ground truth), and runs the BriefIntro 10-D workload in TPU fp32 saving its
+recovered components.  The cpu-compare phase re-runs BriefIntro in CPU
+float64 (the reference's numerics) and records TPU-fp32 ↔ CPU-f64 subspace
+agreement.  Everything lands in results/EDR_SCALE_r04.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+MODE = sys.argv[1] if len(sys.argv) > 1 else "tpu"
+
+import jax  # noqa: E402
+
+_REPO = os.path.join(os.path.dirname(__file__), "..")
+sys.path.insert(0, _REPO)
+
+if MODE == "cpu-compare":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    from edrgp_tpu.config import cpu_compile_cache_dir
+    jax.config.update("jax_compilation_cache_dir",
+                      cpu_compile_cache_dir(os.path.join(_REPO, ".jax_cache")))
+else:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache"))
+
+import jax.numpy as jnp  # noqa: E402
+import scipy.sparse  # noqa: E402
+
+from edrgp_tpu import EffectiveDimensionalityReduction, SVDTransformer  # noqa: E402
+from edrgp_tpu.data import MMapDataset, write_dataset  # noqa: E402
+from edrgp_tpu.datasets import get_beta_inputs, get_edr_target  # noqa: E402
+from edrgp_tpu.models import GaussianProcessRegressor  # noqa: E402
+from edrgp_tpu.models.svgp import SVGPModel, SVGPRegressor  # noqa: E402
+from edrgp_tpu.ops.kernels import RBF  # noqa: E402
+from edrgp_tpu.utils import discrepancy  # noqa: E402
+
+N = 1_048_576
+Q = 10
+D_TRUE = 3
+M_INDUCING = 512
+OUT = os.path.join(_REPO, "results", "EDR_SCALE_r04.json")
+
+
+def principal_angles_deg(A, B):
+    Qa = np.linalg.qr(np.asarray(A, np.float64))[0]
+    Qb = np.linalg.qr(np.asarray(B, np.float64))[0]
+    s = np.clip(np.linalg.svd(Qa.T @ Qb, compute_uv=False), -1, 1)
+    return np.degrees(np.arccos(s))
+
+
+def emit(**kw):
+    print(json.dumps(kw, default=float), flush=True)
+    return kw
+
+
+def make_data(seed=0):
+    rng = np.random.default_rng(seed)
+    X = get_beta_inputs(N, Q, rng=rng).astype(np.float32)
+    B = np.linalg.qr(scipy.sparse.random(
+        Q, D_TRUE, density=0.4, random_state=seed).toarray())[0]
+    y = get_edr_target(X @ B, sigma=0.1, rng=rng).astype(np.float32)
+    return X, y, B
+
+
+def brief_intro_components(seeds=(0, 1, 2, 3, 4)):
+    """BriefIntro 10-D one-shot EDR; returns per-seed (components, disc)."""
+    rows = []
+    for seed in seeds:
+        rng = np.random.default_rng(seed)
+        X = get_beta_inputs(200, 10, rng=rng)
+        B = np.linalg.qr(rng.normal(size=(10, 2)))[0]
+        y = get_edr_target(X @ B, sigma=0.1, rng=rng)
+        edr = EffectiveDimensionalityReduction(
+            GaussianProcessRegressor(["RBF"], [{"ARD": True}]),
+            SVDTransformer(), normalize=False)
+        edr.fit(X, y)
+        comps2 = np.asarray(edr.components_.T[:, :2], np.float64)
+        rows.append({"seed": seed,
+                     "discrepancy_vs_truth": round(float(
+                         discrepancy(B, comps2)), 4),
+                     "components_top2": comps2.tolist()})
+    return rows
+
+
+def run_tpu():
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    res = {"config": {"N": N, "Q": Q, "d_true": D_TRUE,
+                      "num_inducing": M_INDUCING, "dtype": "float32",
+                      "device": str(jax.devices()[0])},
+           "phases": {}}
+
+    t0 = time.perf_counter()
+    X, y, B = make_data()
+    path = os.path.join("/tmp", "edr_scale_r04.edrg")
+    write_dataset(path, X, y)
+    res["phases"]["generate_and_write"] = emit(
+        phase="generate_and_write", wall_s=round(time.perf_counter() - t0, 2),
+        file_mb=round(os.path.getsize(path) / 1e6, 1))
+
+    # ---- stage 1: SVGP fit streamed through the native loader ----------
+    ds = MMapDataset(path)
+    native = ds._handle is not None
+    t0 = time.perf_counter()
+    model = SVGPModel.from_dataset(ds, RBF(Q, ARD=True),
+                                   num_inducing=M_INDUCING, seed=0)
+    batches = ds.batches(4096, seed=1)
+    model.optimize_stream(batches, n_total=N, steps=2000, lr=5e-3)
+    fit_s = time.perf_counter() - t0
+    res["phases"]["svgp_stream_fit"] = emit(
+        phase="svgp_stream_fit", wall_s=round(fit_s, 2),
+        steps=2000, batch_size=4096, native_loader=native,
+        final_minibatch_elbo=round(float(-model._objective), 2))
+
+    # ---- stage 2: batched predictive-gradient extraction at all N rows --
+    t0 = time.perf_counter()
+    dmu, _ = model.predictive_gradients(X)         # auto-chunked lax.map
+    G = np.asarray(dmu[:, :, 0])
+    grad_s = time.perf_counter() - t0
+    res["phases"]["gradient_extraction"] = emit(
+        phase="gradient_extraction", wall_s=round(grad_s, 2),
+        rows=N, rows_per_s=round(N / grad_s, 0))
+
+    # ---- stage 3: SVD of the gradient matrix, on-chip -------------------
+    t0 = time.perf_counter()
+    Gd = jnp.asarray(G)
+    GtG = jax.jit(lambda g: g.T @ g)(Gd)
+    w, V = jax.jit(jnp.linalg.eigh)(GtG)
+    V = np.asarray(V)[:, ::-1]                     # descending eigenvalue
+    comps = V[:, :D_TRUE]                          # [Q, d]
+    svd_s = time.perf_counter() - t0
+    evr = np.asarray(w)[::-1]
+    evr = evr / evr.sum()
+    res["phases"]["svd_projector"] = emit(
+        phase="svd_projector", wall_s=round(svd_s, 3),
+        explained_ratio_top3=round(float(evr[:D_TRUE].sum()), 6))
+
+    # ---- quality vs ground truth ----------------------------------------
+    angles = principal_angles_deg(B, comps)
+    res["manual_pipeline"] = emit(
+        stage="manual_pipeline_quality",
+        discrepancy_vs_truth=round(float(discrepancy(B, comps)), 4),
+        principal_angles_deg=[round(float(a), 3) for a in angles],
+        total_wall_s=round(fit_s + grad_s + svd_s, 2))
+
+    # ---- stage 4: the full user-facing EDR class at the same scale ------
+    t0 = time.perf_counter()
+    edr = EffectiveDimensionalityReduction(
+        SVGPRegressor(num_inducing=M_INDUCING, batch_size=4096, lr=5e-3),
+        SVDTransformer(), n_components=D_TRUE)
+    edr.fit(X, y, max_iters=1500)
+    edr_s = time.perf_counter() - t0
+    comps_edr = np.asarray(edr.components_.T)      # [Q, d]
+    angles_edr = principal_angles_deg(B, comps_edr)
+    res["edr_class_pipeline"] = emit(
+        stage="edr_class_pipeline",
+        wall_s=round(edr_s, 2),
+        discrepancy_vs_truth=round(float(discrepancy(B, comps_edr)), 4),
+        principal_angles_deg=[round(float(a), 3) for a in angles_edr],
+        subspace_variance_ratio=[round(float(r), 5)
+                                 for r in edr.subspace_variance_ratio_])
+
+    # ---- stage 5: BriefIntro 10-D in TPU fp32 ---------------------------
+    t0 = time.perf_counter()
+    res["brief_intro_tpu_fp32"] = brief_intro_components()
+    emit(stage="brief_intro_tpu_fp32",
+         wall_s=round(time.perf_counter() - t0, 2),
+         disc=[r["discrepancy_vs_truth"] for r in res["brief_intro_tpu_fp32"]])
+
+    ds.close()
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(res, f, indent=1)
+    emit(written=os.path.relpath(OUT, _REPO))
+
+
+def run_cpu_compare():
+    with open(OUT) as f:
+        res = json.load(f)
+    tpu_rows = res["brief_intro_tpu_fp32"]
+    cpu_rows = brief_intro_components([r["seed"] for r in tpu_rows])
+    agree = []
+    for rt, rc in zip(tpu_rows, cpu_rows):
+        ct = np.asarray(rt["components_top2"])
+        cc = np.asarray(rc["components_top2"])
+        agree.append({
+            "seed": rt["seed"],
+            "disc_tpu_fp32": rt["discrepancy_vs_truth"],
+            "disc_cpu_f64": rc["discrepancy_vs_truth"],
+            "subspace_discrepancy_tpu_vs_cpu": round(float(
+                discrepancy(cc, ct)), 5),
+            "max_principal_angle_deg_tpu_vs_cpu": round(float(
+                principal_angles_deg(cc, ct).max()), 3)})
+        emit(**agree[-1])
+    res["brief_intro_tpu_vs_cpu_f64"] = agree
+    with open(OUT, "w") as f:
+        json.dump(res, f, indent=1)
+    emit(written=os.path.relpath(OUT, _REPO), mode="cpu-compare")
+
+
+if __name__ == "__main__":
+    run_cpu_compare() if MODE == "cpu-compare" else run_tpu()

@@ -16,7 +16,15 @@ sampling segment absorbs its compile).
 
 Prints JSON lines; run alone (tunnel contention).
 
+Round-4 additions: ``--sweep`` runs the BASELINE config-4 chain-scaling
+ladder (16 / 64 / 256 / 1024 chains; ``--chain-chunk`` bounds per-program
+memory via grouped vmap so 1024 exact-GP chains fit one chip), reporting
+per point samples/s (steady-state AND including warmup+compile), R-hat
+and ESS; the ML-II/MAP timer reuse and the eager clip from ADVICE r3 are
+fixed.
+
 Usage: python benchmarks/nuts_tpu.py [--n 1024] [--chains 16] [--samples 128]
+       python benchmarks/nuts_tpu.py --sweep
 """
 
 import argparse
@@ -41,23 +49,15 @@ from edrgp_tpu.ops.kernels import RBF, inv_positive
 from jax.flatten_util import ravel_pytree
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=1024)
-    ap.add_argument("--q", type=int, default=4)
-    ap.add_argument("--chains", type=int, default=16)
-    ap.add_argument("--warmup", type=int, default=256)
-    ap.add_argument("--samples", type=int, default=128)
-    ap.add_argument("--max-depth", type=int, default=8)
-    ap.add_argument("--segment", type=int, default=8)
-    args = ap.parse_args()
-
-    dt = jnp.float32
+def make_target(n, q, dt=jnp.float32):
+    """Exact-GP hyperparameter posterior target + its (clipped) MAP mode
+    and Laplace mass.  Shared across sweep points so the mode/mass cost
+    is paid once."""
     rng = np.random.default_rng(0)
-    kernel = RBF(args.q, ARD=True)
-    X = jnp.asarray(rng.normal(size=(args.n, args.q)), dt)
+    kernel = RBF(q, ARD=True)
+    X = jnp.asarray(rng.normal(size=(n, q)), dt)
     f = np.sin(1.3 * np.asarray(X[:, 0])) + 0.5 * np.cos(np.asarray(X[:, 1]))
-    y = jnp.asarray(f + 0.15 * rng.normal(size=args.n), dt)
+    y = jnp.asarray(f + 0.15 * rng.normal(size=n), dt)
 
     p0 = {"kernel": kernel.init_params(dt),
           "raw_noise": inv_positive(jnp.asarray(0.1, dt))}
@@ -75,46 +75,53 @@ def main():
     # mode and adapt the mass matrix in 128 transitions: R-hat 112).
     from edrgp_tpu.inference.lbfgs import minimize_segmented
     import edrgp_tpu.models.state  # noqa: F401 — registers "exact_nlml"
-    t0 = time.perf_counter()
+    t_ml2 = time.perf_counter()
     res = minimize_segmented("exact_nlml", kernel, p0, (X, y),
                              max_iters=200, tol=3e-4, segment_iters=25)
-    flat_hat, _ = ravel_pytree(res.params)
+    print(json.dumps({"progress": "ml2_mode", "nlml": float(res.value),
+                      "wall_s": round(time.perf_counter() - t_ml2, 1)}),
+          flush=True)
     # ML-II (no prior) drives the ARD lengthscales of y-irrelevant features
     # to +inf (raw ~1e4), which sits 1e6 log-prob units outside the NUTS
     # target's N(0, prior_scale) prior — chains started there spend all of
     # warmup falling down the prior cliff and the mass matrix adapts to the
     # fall, not the posterior (first r3 capture: inv_mass ~3e5 in the flat
     # dims, eps ~1e-4, split-R-hat in the hundreds).  Clip into the
-    # prior's support, then refine to the MAP of the *actual target* so
-    # the Laplace mass below is taken at a true mode.
-    flat_hat = jnp.clip(flat_hat, -2.0 * prior_scale, 2.0 * prior_scale)
+    # prior's support (inside the jitted MAP refinement — no eager TPU
+    # ops), then refine to the MAP of the *actual target* so the Laplace
+    # mass below is taken at a true mode.
     from edrgp_tpu.inference.lbfgs import minimize_segmented_fn
-    t0 = time.perf_counter()
+    flat_hat, _ = ravel_pytree(res.params)
+    clip_mode = jax.jit(lambda v: jnp.clip(v, -2.0 * prior_scale,
+                                           2.0 * prior_scale))
+    t_map = time.perf_counter()
     res_map = minimize_segmented_fn(
-        lambda q: -logprob(q), flat_hat, max_iters=100, tol=3e-4,
-        segment_iters=25)
+        lambda qf: -logprob(qf), clip_mode(flat_hat), max_iters=100,
+        tol=3e-4, segment_iters=25)
     flat_hat = res_map.params
     print(json.dumps({"progress": "map_mode",
                       "neg_log_post": float(res_map.value),
-                      "wall_s": round(time.perf_counter() - t0, 1)}),
-          flush=True)
-    print(json.dumps({"progress": "ml2_mode", "nlml": float(res.value),
-                      "wall_s": round(time.perf_counter() - t0, 1)}),
+                      "wall_s": round(time.perf_counter() - t_map, 1)}),
           flush=True)
 
-    C = args.chains
-    q0 = jnp.tile(flat_hat[None], (C, 1)) + 0.05 * jax.random.normal(
-        jax.random.PRNGKey(1), (C, flat_hat.shape[0]), dt)
-
-    # Laplace curvature at the (clipped) mode seeds the mass matrix:
-    # without it the first warmup window runs identity-mass trees at max
-    # depth on this ~65x-ill-conditioned posterior and warmup costs 3x
-    # the sampling phase (results/tpu_nuts_r3c.log).
+    # Laplace curvature at the mode seeds the mass matrix: without it the
+    # first warmup window runs identity-mass trees at max depth on this
+    # ~65x-ill-conditioned posterior and warmup costs 3x the sampling
+    # phase (results/tpu_nuts_r3c.log).
     from edrgp_tpu.inference.hmc import curvature_inv_mass
-    inv_mass0 = jax.jit(lambda q: curvature_inv_mass(logprob, q))(flat_hat)
+    inv_mass0 = jax.jit(lambda qf: curvature_inv_mass(logprob, qf))(flat_hat)
     print(json.dumps({"progress": "laplace_mass",
                       "inv_mass0": np.asarray(inv_mass0).round(5).tolist()}),
           flush=True)
+    return logprob, flat_hat, inv_mass0
+
+
+def run_point(logprob, flat_hat, inv_mass0, args, chains):
+    dt = flat_hat.dtype
+    C = chains
+    q0 = jnp.tile(flat_hat[None], (C, 1)) + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(1), (C, flat_hat.shape[0]), dt)
+    chunk = args.chain_chunk if C > args.chain_chunk else None
 
     # per-segment wall clocks, stamped by the host continuation loop
     marks = {"t_last": time.perf_counter(), "warm": [], "sample": []}
@@ -126,14 +133,15 @@ def main():
         key = "sample" if phase == "sample" else "warm"
         marks[key].append(dt_seg)
         print(json.dumps({"progress": phase, "done": done, "total": total,
-                          "segment_s": round(dt_seg, 2)}), flush=True)
+                          "chains": C, "segment_s": round(dt_seg, 2)}),
+              flush=True)
 
     t0 = time.perf_counter()
     qs, info = run_nuts_segmented(
         logprob, q0, jax.random.PRNGKey(0), num_warmup=args.warmup,
         num_samples=args.samples, max_depth=args.max_depth,
         segment_len=args.segment, pool_eps=True, inv_mass0=inv_mass0,
-        on_segment=on_segment)
+        chain_chunk=chunk, on_segment=on_segment)
     total_wall = time.perf_counter() - t0
 
     # throughput from the sampling segments, excluding the first (compile)
@@ -142,6 +150,7 @@ def main():
     full_segs = args.samples // args.segment
     seg_len = args.segment if full_segs else args.samples
     samples_per_s = C * seg_len / med_seg
+    warm_s = float(np.sum(marks["warm"]))
 
     # quality: split-Rhat and ESS over the pooled chains
     rhat = potential_scale_reduction(qs)
@@ -153,7 +162,8 @@ def main():
         "unit": "samples/s",
         "config": {"n": args.n, "q": args.q, "chains": C,
                    "warmup": args.warmup, "samples": args.samples,
-                   "max_depth": args.max_depth, "segment": args.segment},
+                   "max_depth": args.max_depth, "segment": args.segment,
+                   "chain_chunk": chunk},
         "grad_evals_per_s": round(samples_per_s * leap, 1),
         "mean_leapfrogs_per_sample": round(leap, 1),
         "divergences": info["divergences"],
@@ -162,10 +172,32 @@ def main():
         "max_split_rhat": round(float(np.max(rhat)), 4),
         "min_ess": round(float(np.min(ess)), 1),
         "median_sampling_segment_s": round(med_seg, 2),
+        "warmup_wall_s": round(warm_s, 1),
         "total_wall_s": round(total_wall, 1),
         "samples_per_s_incl_warmup_and_compile":
             round(C * args.samples / total_wall, 2),
     }), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1024)
+    ap.add_argument("--q", type=int, default=4)
+    ap.add_argument("--chains", type=int, default=16)
+    ap.add_argument("--warmup", type=int, default=256)
+    ap.add_argument("--samples", type=int, default=128)
+    ap.add_argument("--max-depth", type=int, default=8)
+    ap.add_argument("--segment", type=int, default=8)
+    ap.add_argument("--chain-chunk", type=int, default=256,
+                    help="max chains vmapped per program (memory knob)")
+    ap.add_argument("--sweep", action="store_true",
+                    help="BASELINE config-4 ladder: 16/64/256/1024 chains")
+    args = ap.parse_args()
+
+    logprob, flat_hat, inv_mass0 = make_target(args.n, args.q)
+    ladder = (16, 64, 256, 1024) if args.sweep else (args.chains,)
+    for chains in ladder:
+        run_point(logprob, flat_hat, inv_mass0, args, chains)
 
 
 if __name__ == "__main__":

@@ -118,10 +118,49 @@ def bench_gradmu(rng):
         del ref, gb, gp
 
 
+def bench_precision(rng):
+    """The in-kernel 3-pass hi/lo bf16 split ('high') vs single-pass
+    default: does the Pallas speed advantage survive fp32-grade accuracy?"""
+    k = RBF(Q, ARD=True)
+    n = 10240
+    X = jnp.asarray(rng.normal(size=(n, Q)).astype(np.float32))
+    ls = jnp.asarray(np.linspace(0.8, 2.0, Q).astype(np.float32))
+    params = {"variance": inv_positive(jnp.float32(1.3)),
+              "lengthscale": inv_positive(ls)}
+    prod = jax.jit(lambda p, x: k.K(p, x, x))
+    K0 = prod(params, X)
+    Xs = X / ls
+    sig2 = jnp.float32(1.3)
+    pal_hi = lambda a: rbf_kernel_matrix(a, a, sig2,  # noqa: E731
+                                         precision="high")
+    Kp = pal_hi(Xs)
+    emit(op=f"kmatrix_pallas_high_N{n}", ms=timeit(pal_hi, Xs),
+         rel_err_vs_xla_highest=rel_err(Kp, K0))
+    del K0, Kp
+
+    full = {"kernel": params,
+            "raw_noise": inv_positive(jnp.float32(0.1))}
+    alpha = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    for m in (102_400, 1_048_576):
+        Xnew = jnp.asarray(rng.normal(size=(m, Q)).astype(np.float32))
+        fb = lambda xn: exact.predict_mean_grad_batched(  # noqa: E731
+            k, full, X, alpha, xn, 4096)
+        ref = fb(Xnew)
+        fp = lambda xn: rbf_grad_mu(xn, X, alpha, ls, sig2,  # noqa: E731
+                                    precision="high")
+        gp = fp(Xnew)
+        emit(op=f"gradmu_pallas_high_M{m}", ms=timeit(fp, Xnew),
+             rel_err_vs_xla=rel_err(gp, ref))
+        del ref, gp
+
+
 def main():
     emit(note="pallas wire-or-retire", backend=jax.default_backend(),
          device=str(jax.devices()[0]))
     rng = np.random.default_rng(0)
+    if len(sys.argv) > 1 and sys.argv[1] == "precision":
+        bench_precision(rng)
+        return
     bench_kmatrix(rng)
     bench_gradmu(rng)
 

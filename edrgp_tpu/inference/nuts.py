@@ -337,19 +337,48 @@ def _nuts_chain_step(logprob_fn, max_depth, target_accept, pool_axis):
     return warm
 
 
-def _make_nuts_segments(logprob_fn, max_depth, target_accept, pool_eps):
+def group_vmap(f, chain_chunk: int | None, axis_name: str | None = None):
+    """vmap ``f`` over the leading chain axis; when ``chain_chunk`` is set
+    and C exceeds it, ``lax.map`` over groups of ``chain_chunk`` vmapped
+    chains instead.
+
+    Chunking bounds per-program live memory to chunk × (per-chain working
+    set) — the enabler for 1024 chains of an exact-GP posterior on one
+    chip, where each chain's gradient holds O(N²) temporaries.  With an
+    ``axis_name``, pooled statistics (``pmean``) pool WITHIN each group of
+    ``chain_chunk`` chains (groups adapt as independent pools).
+    """
+    def run(*args):
+        C = jax.tree_util.tree_leaves(args[0])[0].shape[0]
+        vf = jax.vmap(f, axis_name=axis_name)
+        if not chain_chunk or C <= chain_chunk:
+            return vf(*args)
+        if C % chain_chunk:
+            raise ValueError(f"chains ({C}) must divide by chain_chunk "
+                             f"({chain_chunk})")
+        G = C // chain_chunk
+        re = lambda t: t.reshape((G, chain_chunk) + t.shape[1:])  # noqa: E731
+        unre = lambda t: t.reshape((C,) + t.shape[2:])            # noqa: E731
+        out = lax.map(lambda a: vf(*a), jax.tree_util.tree_map(re, args))
+        return jax.tree_util.tree_map(unre, out)
+
+    return run
+
+
+def _make_nuts_segments(logprob_fn, max_depth, target_accept, pool_eps,
+                        chain_chunk=None):
     """Jitted (warm_segment, sample_segment) with static segment length."""
     pool_axis = "chains" if pool_eps else None
 
     def warm_segment(states, adapts, key, seg_len):
         warm = _nuts_chain_step(logprob_fn, max_depth, target_accept,
                                 pool_axis)
+        gwarm = group_vmap(warm, chain_chunk, axis_name="chains")
 
         def step(carry, k):
             states, adapts = carry
             keys = jax.random.split(k, states.q.shape[0])
-            states, adapts, _ = jax.vmap(warm, axis_name="chains")(
-                states, adapts, keys)
+            states, adapts, _ = gwarm(states, adapts, keys)
             return (states, adapts), None
 
         key, sub = jax.random.split(key)
@@ -362,9 +391,11 @@ def _make_nuts_segments(logprob_fn, max_depth, target_accept, pool_eps):
             return nuts_step(logprob_fn, state, key, eps_c, inv_mass_c,
                              max_depth)
 
+        gone = group_vmap(one, chain_chunk)
+
         def step(states, k):
             keys = jax.random.split(k, states.q.shape[0])
-            states, info = jax.vmap(one)(states, keys, eps, inv_mass)
+            states, info = gone(states, keys, eps, inv_mass)
             return states, (states.q, info["accept_stat"], info["diverged"],
                             info["n_leaves"])
 
@@ -388,6 +419,7 @@ def run_nuts_segmented(logprob_fn: Callable, q0: jnp.ndarray, key, *,
                        max_depth: int = 8, target_accept: float = 0.8,
                        segment_len: int = 32, pool_eps: bool = False,
                        inv_mass0: jnp.ndarray | None = None,
+                       chain_chunk: int | None = None,
                        on_segment: Callable | None = None):
     """Multi-chain NUTS as a sequence of bounded device programs.
 
@@ -398,6 +430,9 @@ def run_nuts_segmented(logprob_fn: Callable, q0: jnp.ndarray, key, *,
     ``inv_mass0`` ([D]) seeds the diagonal inverse mass for the first
     warmup window (see :func:`edrgp_tpu.inference.hmc.curvature_inv_mass`);
     the Welford estimate replaces it at the window boundary as usual.
+    ``chain_chunk`` caps how many chains run vmapped in one program
+    (``lax.map`` over groups above it — the memory knob for 1024-chain
+    runs; pooled ε then pools per group; see :func:`group_vmap`).
     ``on_segment(phase, done, total)`` is called after each segment (host-
     side progress hook).  Returns (samples [C, num_samples, D], info) with
     the same info fields as :func:`run_nuts`.
@@ -407,14 +442,15 @@ def run_nuts_segmented(logprob_fn: Callable, q0: jnp.ndarray, key, *,
     from .hmc import find_reasonable_epsilon
 
     warm_seg, sample_seg = _make_nuts_segments(
-        logprob_fn, max_depth, target_accept, pool_eps)
+        logprob_fn, max_depth, target_accept, pool_eps, chain_chunk)
 
-    states = jax.vmap(lambda q: init_state(logprob_fn, q))(q0)
+    states = jax.jit(group_vmap(lambda q: init_state(logprob_fn, q),
+                                chain_chunk))(q0)
     key, k_eps = jax.random.split(jnp.asarray(key))
     eps_keys = jax.random.split(k_eps, q0.shape[0])
     im = None if inv_mass0 is None else jnp.asarray(inv_mass0, q0.dtype)
-    eps0 = jax.jit(jax.vmap(lambda s, k: find_reasonable_epsilon(
-        logprob_fn, s, k, inv_mass=im)))(states, eps_keys)
+    eps0 = jax.jit(group_vmap(lambda s, k: find_reasonable_epsilon(
+        logprob_fn, s, k, inv_mass=im), chain_chunk))(states, eps_keys)
     if pool_eps:
         eps0 = jnp.full_like(eps0, jnp.exp(jnp.mean(jnp.log(eps0))))
     adapts = jax.vmap(lambda q, e: window_adaptation_init(

@@ -28,7 +28,8 @@ from jax.flatten_util import ravel_pytree
 
 from .hmc import HMCState, hmc_step
 
-__all__ = ["systematic_resample", "run_smc", "run_smc_pytree", "ess"]
+__all__ = ["systematic_resample", "run_smc", "run_smc_segmented",
+           "run_smc_pytree", "ess"]
 
 
 def ess(log_w: jnp.ndarray) -> jnp.ndarray:
@@ -135,6 +136,91 @@ def run_smc(loglik_fn: Callable, logprior_fn: Callable,
                 jnp.asarray(False)), keys)
     return particles, {"log_evidence": logZ, "beta_trace": betas,
                        "final_beta": beta, "converged": done}
+
+
+def run_smc_segmented(loglik_fn: Callable, logprior_fn: Callable,
+                      particles0: jnp.ndarray, key, *,
+                      num_mcmc: int = 5, n_leapfrog: int = 10,
+                      eps: float = 0.1, target_ess_frac: float = 0.5,
+                      max_stages: int = 50,
+                      particle_chunk: int | None = None,
+                      on_stage: Callable | None = None):
+    """Adaptive-tempering SMC as one bounded device program PER β-STAGE.
+
+    :func:`run_smc` compiles all ``max_stages`` stages into one XLA
+    program; with expensive GP-bound likelihoods that program blows the
+    TPU worker's ~1-minute execution cap.  Here the host loop advances one
+    tempering stage per device program (the lbfgs/NUTS segmentation
+    pattern) and stops as soon as β reaches 1.  ``particle_chunk`` bounds
+    how many particles are vmapped per program (``lax.map`` over groups
+    above it — the memory knob when each likelihood holds O(n·m)
+    temporaries; see :func:`edrgp_tpu.inference.nuts.group_vmap`).
+    ``on_stage(stage_idx, beta, ess, logZ)`` is a host-side progress hook.
+
+    Returns (particles [N, D], info) with ``beta_trace`` / ``ess_trace``
+    as Python lists of the stages actually run.
+    """
+    import numpy as np
+
+    from .nuts import group_vmap
+
+    N, D = particles0.shape
+    dt = particles0.dtype
+    target = target_ess_frac * N
+    vlik = jax.jit(group_vmap(loglik_fn, particle_chunk))
+
+    @jax.jit
+    def one_stage(particles, beta, logZ, key_stage):
+        k_res, k_mcmc = jax.random.split(key_stage)
+        loglik = vlik(particles)
+        new_beta = _next_beta(loglik, beta, target)
+        dbeta = new_beta - beta
+        log_w = dbeta * loglik
+        ess_val = ess(log_w)
+        logZ = logZ + jax.nn.logsumexp(log_w) - jnp.log(jnp.asarray(N, dt))
+
+        idx = systematic_resample(k_res, log_w)
+        particles = particles[idx]
+
+        def temp_logprob(q):
+            return new_beta * loglik_fn(q) + logprior_fn(q)
+
+        def one_particle(q, keys):
+            st = HMCState(q=q, logp=temp_logprob(q),
+                          grad=jax.grad(temp_logprob)(q))
+
+            def sweep(st, k):
+                st, _ = hmc_step(temp_logprob, st, k, eps, jnp.ones(D, dt),
+                                 n_leapfrog)
+                return st, None
+
+            st, _ = lax.scan(sweep, st, keys)
+            return st.q
+
+        mkeys = jax.random.split(k_mcmc, N * num_mcmc).reshape(N, num_mcmc, 2)
+        particles = group_vmap(one_particle, particle_chunk)(particles, mkeys)
+        return particles, new_beta, logZ, ess_val
+
+    particles = particles0
+    beta = jnp.zeros((), dt)
+    logZ = jnp.zeros((), dt)
+    betas, esss = [], []
+    key = jnp.asarray(key)
+    for stage_idx in range(max_stages):
+        key, sub = jax.random.split(key)
+        particles, beta, logZ, ess_val = one_stage(particles, beta, logZ, sub)
+        jax.block_until_ready(particles)
+        betas.append(float(beta))
+        esss.append(float(ess_val))
+        if on_stage is not None:
+            on_stage(stage_idx, betas[-1], esss[-1], float(logZ))
+        if betas[-1] >= 1.0:
+            break
+    return particles, {"log_evidence": float(logZ),
+                       "beta_trace": betas, "ess_trace": esss,
+                       "final_beta": betas[-1] if betas else 0.0,
+                       "converged": bool(betas and betas[-1] >= 1.0),
+                       "n_stages": len(betas)}
 
 
 def run_smc_pytree(loglik_fn: Callable, logprior_fn: Callable,

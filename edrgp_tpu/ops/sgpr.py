@@ -122,7 +122,10 @@ def predict_mean_grad(kernel: Kernel, params, beta, Xnew):
 def predict_mean_grad_batched(kernel: Kernel, params, beta, Xnew,
                               batch: int = 8192):
     """dμ/dx* in ``batch``-row chunks (scales to M in the millions)."""
-    from .exact import map_batched, weighted_kernel_grad
+    from .exact import _pallas_grad_dispatch, map_batched, weighted_kernel_grad
     kp, Z = params["kernel"], params["Z"]
+    fast = _pallas_grad_dispatch(kernel, kp, Z, beta, Xnew)
+    if fast is not None:
+        return fast
     return map_batched(lambda c: weighted_kernel_grad(kernel, kp, Z, beta, c),
                        Xnew, batch)

@@ -216,3 +216,58 @@ def test_nuts_segmented_pooled_eps():
     np.testing.assert_allclose(eps, eps[0], rtol=1e-6)
     pooled = qs.reshape(-1, 2)
     np.testing.assert_allclose(pooled.mean(0), np.asarray(MU), atol=0.25)
+
+
+def test_chain_chunked_segmented_nuts():
+    """group_vmap chunking (the 1024-chain memory knob) must not change the
+    math: with pool_eps=False the per-chain key schedule is identical, so
+    chunked and unchunked runs agree exactly; with pool_eps=True (per-group
+    pooling) the run stays statistically sound."""
+    from edrgp_tpu.inference.nuts import run_nuts_segmented
+    q0 = jnp.zeros((8, 2))
+    kw = dict(num_warmup=100, num_samples=100, max_depth=6, segment_len=25)
+    qs_full, _ = run_nuts_segmented(gauss_logprob, q0, jax.random.PRNGKey(2),
+                                    pool_eps=False, **kw)
+    qs_chunk, _ = run_nuts_segmented(gauss_logprob, q0, jax.random.PRNGKey(2),
+                                     pool_eps=False, chain_chunk=4, **kw)
+    np.testing.assert_allclose(qs_chunk, qs_full, rtol=1e-12)
+
+    qs_pool, info = run_nuts_segmented(gauss_logprob, q0,
+                                       jax.random.PRNGKey(2), pool_eps=True,
+                                       chain_chunk=4, **kw)
+    pooled = np.asarray(qs_pool).reshape(-1, 2)
+    np.testing.assert_allclose(pooled.mean(0), np.asarray(MU), atol=0.3)
+    assert info["divergences"] == 0
+
+    import pytest
+    with pytest.raises(ValueError):
+        run_nuts_segmented(gauss_logprob, q0, jax.random.PRNGKey(2),
+                           chain_chunk=3, **kw)
+
+
+def test_smc_segmented_matches_monolithic_quality():
+    """The per-stage segmented SMC driver (the TPU execution form) must
+    reproduce the monolithic run_smc's evidence and moments, including
+    with particle chunking."""
+    from edrgp_tpu.inference.smc import run_smc_segmented
+
+    def logprior(q):
+        return -0.5 * jnp.sum(q ** 2) / 25.0
+
+    parts0 = 5.0 * jax.random.normal(jax.random.PRNGKey(1), (1000, 2))
+    parts, info = run_smc_segmented(gauss_logprob, logprior, parts0,
+                                    jax.random.PRNGKey(2), num_mcmc=5,
+                                    n_leapfrog=10, eps=0.3,
+                                    particle_chunk=250)
+    assert info["converged"]
+    assert info["beta_trace"][-1] >= 1.0
+    assert len(info["ess_trace"]) == info["n_stages"]
+    from scipy.stats import multivariate_normal
+    S = np.asarray(SIGMA)
+    true_logZ = np.log((2 * np.pi) ** 1.0 * np.sqrt(np.linalg.det(S))
+                       * multivariate_normal.pdf(np.asarray(MU),
+                                                 mean=np.zeros(2),
+                                                 cov=S + 25 * np.eye(2)))
+    assert abs(info["log_evidence"] - true_logZ) < 0.3
+    np.testing.assert_allclose(np.asarray(parts.mean(0)), np.asarray(MU),
+                               atol=0.3)
