@@ -461,7 +461,11 @@ def run_nuts_segmented(logprob_fn: Callable, q0: jnp.ndarray, key, *,
         done = 0
         for seg in _chunks(length, segment_len):
             states, adapts, key = warm_seg(states, adapts, key, seg)
-            jax.block_until_ready(states.q)
+            # readback barrier, not block_until_ready: this round's
+            # tunneled runtime acks block_until_ready before the work is
+            # done (results/timing_probe_r4.log), which would corrupt the
+            # host-side per-segment wall clocks
+            _ = np.asarray(states.q[:1])
             done += seg
             if on_segment is not None:
                 on_segment(phase, done, length)
