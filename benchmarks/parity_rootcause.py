@@ -59,21 +59,26 @@ def brief_intro():
         y = get_edr_target(X @ B, sigma=0.1, rng=rng)
 
         row = {"seed": seed}
-        for label, gp in (
-            ("single", GaussianProcessRegressor(["RBF"], [{"ARD": True}])),
-            ("restarts10", GaussianProcessRegressor(
-                ["RBF"], [{"ARD": True}], method="optimize_restarts")),
-        ):
-            edr = EffectiveDimensionalityReduction(
-                gp, SVDTransformer(), normalize=False)
+        # Fit the GP directly (the EDR one-shot path is exactly fit →
+        # predict_gradient → SVD) so NLML and discrepancy come from the
+        # SAME model — going through EDR conflates them: EDR's _last_fit
+        # refits in the projected space, so its estimator_'s NLML is the
+        # refit model's, not the one the components came from.
+        for label in ("single", "restarts10"):
+            gp = GaussianProcessRegressor(
+                ["RBF"], [{"ARD": True}],
+                method="optimize_restarts" if label == "restarts10"
+                else "optimize")
             if label == "restarts10":
-                edr.fit(X, y, num_restarts=10, verbose=False)
+                gp.fit(X, y, num_restarts=10, verbose=False)
             else:
-                edr.fit(X, y)
+                gp.fit(X, y)
+            comps = SVDTransformer().fit(
+                gp.predict_gradient(X)).components_[:2]
             row[f"disc_{label}"] = round(float(
-                discrepancy(B, edr.components_.T[:, :2])), 4)
+                discrepancy(B, comps.T)), 4)
             row[f"nlml_{label}"] = round(
-                -float(edr.estimator_.log_likelihood()), 3)
+                -float(gp.estimator_.log_likelihood()), 3)
         rows.append(row)
         print(json.dumps(row), flush=True)
 
@@ -92,6 +97,49 @@ def brief_intro():
     }
     print(json.dumps({k: v for k, v in OUT["brief_intro"].items()
                       if k != "rows"}), flush=True)
+
+
+def mi_estimator_floor():
+    """Attribution experiment for the systematic ~2-3% MI shortfall vs the
+    notebooks' published values on four workloads: compute the MI of the
+    TRUE ridge direction (no GP involved at all) on fresh seeds.  If the
+    ceiling itself sits below the published single-draw values, the gap is
+    the MI estimator / data draw, not the recovered subspace."""
+    ceilings = {}
+    for name, cov_kind in (("regression_2d", None), ("chain_corr", "corr"),
+                           ("chain_uncorr", "uncorr")):
+        vals = []
+        for seed in SEEDS:
+            rng = np.random.default_rng(seed)
+            if cov_kind is None:
+                X = get_gaussian_inputs(
+                    eig_values=[1, 0.3], sample_size=500,
+                    eig_vectors=np.array([[1, 1], [-1, 1]]), rng=rng)
+                X -= X.mean(0)
+                c = np.array([0.5, 0.5])
+            else:
+                from scipy.linalg import eigh
+                cov = (np.array([[1, .9, .01], [.9, 1, -.1], [.01, -.1, 1]])
+                       if cov_kind == "corr" else
+                       np.array([[1, .07, .03], [.07, 1, -.1],
+                                 [.03, -.1, 1]]))
+                w, v = eigh(cov)
+                X = get_gaussian_inputs(eig_values=w, sample_size=500,
+                                        eig_vectors=v, rng=rng)
+                X -= X.mean(0)
+                c = 0.5 * np.ones(3)
+            y = get_tanh_targets(X, c, rng=rng)
+            vals.append(float(mutual_info_regression(
+                (X @ c)[:, None], y, random_state=0)[0]))
+        ceilings[name] = {"mi_true_direction_mean": round(float(
+            np.mean(vals)), 4), "mi_true_direction_std": round(float(
+                np.std(vals, ddof=1)), 4)}
+        print(json.dumps({name: ceilings[name]}), flush=True)
+    OUT["mi_estimator_floor"] = {
+        "note": ("MI of the TRUE ridge direction (no GP): the estimator/"
+                 "data-draw ceiling the published single-seed values must "
+                 "be compared against"),
+        **ceilings}
 
 
 def chain_pca_uncorr():
@@ -141,6 +189,7 @@ def chain_pca_uncorr():
 
 
 def main():
+    mi_estimator_floor()
     brief_intro()
     chain_pca_uncorr()
     out = os.path.join(os.path.dirname(__file__), "..", "results",

@@ -14,13 +14,18 @@ numbers (the only quality numbers the reference publishes anywhere):
 
 The notebooks fixed a legacy ``np.random.seed`` stream we cannot (and
 should not) bit-replay, so each workload runs over SEEDS independent
-seeds and reports mean/std/min/max alongside the published value.  The
-parity criterion is FALSIFIABLE (VERDICT r3 weak #3 replaced the old
-``min − 2σ`` band that could not fail): parity holds iff the native mean
-is strictly better than the published value OR the published value lies
-within native mean ± 2·SEM.  Workloads that fail the gate carry a
-committed ``root_cause`` note.  Principal angles between recovered and
-true subspaces are recorded where ground truth exists.
+seeds and reports mean/std/min/max alongside the published value.  Two
+FALSIFIABLE gates replace the r3 ``min − 2σ`` band that could not fail
+(VERDICT r3 weak #3): ``parity`` (strict, the r3 #6 prescription) holds
+iff the native mean is strictly better or the published value lies
+within mean ± 2·SEM; ``parity_draw`` (calibrated for what the published
+number is — a single legacy-seed draw carrying the full per-seed std)
+uses mean ± 2·std.  Strict-gate failures carry a committed
+``root_cause`` note backed by the attribution experiments in
+``benchmarks/parity_rootcause.py`` (MI-estimator ceilings from the true
+ridge direction, restart sensitivity, PCA ridge-energy retention).
+Principal angles between recovered and true subspaces are recorded
+where ground truth exists.
 
 Runs on CPU in float64 (the reference's numerics).  Writes
 results/PARITY_RUNS.json and prints one JSON line per workload.
@@ -54,9 +59,47 @@ from edrgp_tpu.utils import discrepancy
 SEEDS = list(range(20))
 RESULTS = []
 
-#: Root-cause notes for workloads that fail the mean-level gate (attached
-#: to their records; VERDICT r3 #6 requires parity or a committed note).
-ROOT_CAUSES = {}
+#: Root-cause notes for workloads that fail the strict mean-level gate
+#: (attached to their records; VERDICT r3 #6 requires parity or a
+#: committed note).  Every note is backed by a quantified attribution
+#: experiment in results/PARITY_ROOTCAUSE_r04.json
+#: (benchmarks/parity_rootcause.py).
+ROOT_CAUSES = {
+    "regression_example_pca_mi": (
+        "published '0.000' is a truncated print of the kNN MI estimator's "
+        "small-positive noise floor; native per-seed values span "
+        "0.000-0.034 nats on PURE PCA projections with no GP involved"),
+    "regression_example_edr_mi": (
+        "native subspace is at the estimator ceiling: MI of the TRUE ridge "
+        "direction (no GP) over the same 20 seeds is 2.161±0.047 — the "
+        "native EDR mean 2.143 sits 0.4 sigma below its own ceiling, while "
+        "the published 2.200 single draw sits ABOVE the ceiling's mean "
+        "(a lucky legacy-seed draw; PARITY_ROOTCAUSE_r04.json "
+        "mi_estimator_floor)"),
+    "brief_intro_edr_discrepancy": (
+        "not an optimization gap: 10-restart ML-II lowers the first-fit "
+        "NLML on only 4/20 seeds (mean gap 0.14 nats) and moves mean "
+        "discrepancy only 0.1893 -> 0.1829 with corr(NLML, "
+        "discrepancy)=0.02 — the single-run fit is converged and recovery "
+        "is NLML-insensitive; published 0.135 is z=-0.6 inside the native "
+        "per-seed distribution"),
+    "brief_intro_iterative_discrepancy": (
+        "same mechanism as the one-shot case (restart-insensitive, "
+        "published single draw at z=-0.46 inside the native distribution)"),
+    "chain_pca_corr_raw_mi": (
+        "native mean 2.3412 EQUALS the true-direction estimator ceiling "
+        "2.3398±0.053 for these seeds; the published 2.386 single draw is "
+        "above the ceiling's mean (z=0.84)"),
+    "chain_pca_corr_preprocessed_mi": (
+        "as chain_pca_corr_raw_mi (ceiling 2.3398; native preprocessed "
+        "mean 2.3202, published draw z=1.3)"),
+    "chain_pca_uncorr_preprocessed_mi": (
+        "intrinsic to the workload, not the GP: corr(MI, ridge energy "
+        "retained by the PCA(2) preprocessor) = 0.97 across seeds — with "
+        "near-isotropic inputs the dropped principal direction is noise-"
+        "driven, and only 1/20 seeds retains enough ridge energy to exceed "
+        "the published 1.228 (itself a z=1.6 draw)"),
+}
 
 
 def principal_angles_deg(A, B):
@@ -72,18 +115,27 @@ def record(workload, published, runs, better_is="lower", extra=None):
     mean, std = float(np.mean(runs)), float(np.std(runs, ddof=1))
     sem = std / np.sqrt(len(runs))
     lo, hi = float(min(runs)), float(max(runs))
-    # Falsifiable gate: native mean strictly better, or published within
-    # mean ± 2·SEM.  (The published number is a single legacy-seed draw of
-    # the same statistic, so mean-level agreement is the honest criterion.)
     mean_better = (mean <= published if better_is == "lower"
                    else mean >= published)
-    ok = mean_better or abs(mean - published) <= 2 * sem
+    # Two falsifiable gates (both reported; "parity" is the strict one):
+    #  * parity_mean — native mean strictly better, or published within
+    #    mean ± 2·SEM (the VERDICT r3 #6 prescription; strict: at 20 seeds
+    #    ANY systematic shift fails it);
+    #  * parity_draw — published within mean ± 2·std: the calibrated test
+    #    for what the published number actually is — a SINGLE legacy-seed
+    #    draw of the same statistic, which carries the full per-seed std,
+    #    not the SEM of a 20-seed mean.
+    ok_mean = mean_better or abs(mean - published) <= 2 * sem
+    ok_draw = mean_better or abs(mean - published) <= 2 * std
+    z = (published - mean) / std if std > 0 else float("inf")
     rec = {"workload": workload, "published_reference": published,
            "native_mean": round(mean, 4), "native_std": round(std, 4),
            "native_sem": round(float(sem), 4),
            "native_min": round(lo, 4), "native_max": round(hi, 4),
-           "seeds": len(runs), "better_is": better_is, "parity": bool(ok)}
-    if not ok and workload in ROOT_CAUSES:
+           "seeds": len(runs), "better_is": better_is,
+           "parity": bool(ok_mean), "parity_draw": bool(ok_draw),
+           "published_z_in_native_dist": round(float(z), 2)}
+    if not ok_mean and workload in ROOT_CAUSES:
         rec["root_cause"] = ROOT_CAUSES[workload]
     if extra:
         rec.update(extra)
@@ -219,11 +271,13 @@ def main():
                         "outputs (legacy np.random.seed streams, not "
                         "bit-replayable); native = this framework over "
                         f"{len(SEEDS)} fresh seeds, CPU float64"),
-               "all_parity": all(r["parity"] for r in RESULTS),
+               "all_parity_mean_gate": all(r["parity"] for r in RESULTS),
+               "all_parity_draw_gate": all(r["parity_draw"] for r in RESULTS),
                "runs": RESULTS}
     with open(out, "w") as f:
         json.dump(summary, f, indent=1)
-    print(json.dumps({"all_parity": summary["all_parity"],
+    print(json.dumps({"all_parity_mean_gate": summary["all_parity_mean_gate"],
+                      "all_parity_draw_gate": summary["all_parity_draw_gate"],
                       "written": os.path.relpath(out)}), flush=True)
 
 
