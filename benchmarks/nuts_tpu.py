@@ -117,11 +117,16 @@ def make_target(n, q, dt=jnp.float32):
 
 
 def run_point(logprob, flat_hat, inv_mass0, args, chains):
+    """One ladder point.  Above ``--chain-chunk`` chains, groups run as
+    SEQUENTIAL pooled runs on the host (each group identical to the
+    proven single-group program) instead of ``lax.map``-grouped programs
+    — on one chip the two are throughput-equivalent (groups execute
+    serially either way), and the in-program grouping crashed the TPU
+    worker twice at 256 chains (results/nuts_sweep_r4.err)."""
     dt = flat_hat.dtype
     C = chains
-    q0 = jnp.tile(flat_hat[None], (C, 1)) + 0.05 * jax.random.normal(
-        jax.random.PRNGKey(1), (C, flat_hat.shape[0]), dt)
-    chunk = args.chain_chunk if C > args.chain_chunk else None
+    chunk = min(C, args.chain_chunk)
+    n_groups = C // chunk
 
     # per-segment wall clocks, stamped by the host continuation loop
     marks = {"t_last": time.perf_counter(), "warm": [], "sample": []}
@@ -137,19 +142,44 @@ def run_point(logprob, flat_hat, inv_mass0, args, chains):
               flush=True)
 
     t0 = time.perf_counter()
-    qs, info = run_nuts_segmented(
-        logprob, q0, jax.random.PRNGKey(0), num_warmup=args.warmup,
-        num_samples=args.samples, max_depth=args.max_depth,
-        segment_len=args.segment, pool_eps=True, inv_mass0=inv_mass0,
-        chain_chunk=chunk, on_segment=on_segment)
+    qs_parts, infos = [], []
+    reuse = None
+    for g in range(n_groups):
+        q0 = (jnp.tile(flat_hat[None], (chunk, 1))
+              + 0.05 * jax.random.normal(
+                  jax.random.fold_in(jax.random.PRNGKey(1), g),
+                  (chunk, flat_hat.shape[0]), dt))
+        marks["t_last"] = time.perf_counter()
+        qs_g, info_g = run_nuts_segmented(
+            logprob, q0, jax.random.fold_in(jax.random.PRNGKey(0), g),
+            num_warmup=args.warmup, num_samples=args.samples,
+            max_depth=args.max_depth, segment_len=args.segment,
+            pool_eps=True, inv_mass0=inv_mass0, reuse_adaptation=reuse,
+            on_segment=on_segment)
+        qs_parts.append(np.asarray(qs_g))
+        infos.append(info_g)
+        if reuse is None:
+            # warmup is paid ONCE: groups 1..G-1 sample with group 0's
+            # tuned kernel (pooled ε, mean mass); split-R̂/ESS over ALL
+            # chains below verifies the transfer
+            reuse = (np.asarray(info_g["step_size"]).ravel()[0],
+                     np.asarray(info_g["inv_mass"]).mean(axis=0))
+    qs = np.concatenate(qs_parts, axis=0)
+    info = {"accept_rate": float(np.mean([i["accept_rate"]
+                                          for i in infos])),
+            "divergences": int(sum(i["divergences"] for i in infos)),
+            "step_size": infos[0]["step_size"],
+            "mean_leapfrogs": float(np.mean([i["mean_leapfrogs"]
+                                             for i in infos]))}
     total_wall = time.perf_counter() - t0
 
-    # throughput from the sampling segments, excluding the first (compile)
+    # throughput from the sampling segments, excluding the first (compile);
+    # each segment advances `chunk` chains (groups serialize on one chip)
     seg_times = marks["sample"][1:] or marks["sample"]
     med_seg = float(np.median(seg_times))
     full_segs = args.samples // args.segment
     seg_len = args.segment if full_segs else args.samples
-    samples_per_s = C * seg_len / med_seg
+    samples_per_s = chunk * seg_len / med_seg
     warm_s = float(np.sum(marks["warm"]))
 
     # quality: split-Rhat and ESS over the pooled chains
@@ -188,16 +218,27 @@ def main():
     ap.add_argument("--samples", type=int, default=128)
     ap.add_argument("--max-depth", type=int, default=8)
     ap.add_argument("--segment", type=int, default=8)
-    ap.add_argument("--chain-chunk", type=int, default=256,
-                    help="max chains vmapped per program (memory knob)")
+    ap.add_argument("--chain-chunk", type=int, default=128,
+                    help="max chains vmapped per program (memory knob; 256 "
+                    "unchunked crashed the TPU worker in the first r4 run)")
     ap.add_argument("--sweep", action="store_true",
                     help="BASELINE config-4 ladder: 16/64/256/1024 chains")
+    ap.add_argument("--ladder", type=int, nargs="*", default=None,
+                    help="explicit chain ladder (overrides --sweep points)")
     args = ap.parse_args()
 
     logprob, flat_hat, inv_mass0 = make_target(args.n, args.q)
-    ladder = (16, 64, 256, 1024) if args.sweep else (args.chains,)
+    ladder = tuple(args.ladder) if args.ladder else (
+        (16, 64, 256, 1024) if args.sweep else (args.chains,))
     for chains in ladder:
-        run_point(logprob, flat_hat, inv_mass0, args, chains)
+        try:
+            run_point(logprob, flat_hat, inv_mass0, args, chains)
+        except Exception as e:  # crash isolation: one ladder point must
+            # not cost the others their run (TPU worker crashes happen)
+            print(json.dumps({"metric": "nuts_samples_per_s_per_chip",
+                              "chains": chains, "error": repr(e)[:300]}),
+                  flush=True)
+            break
 
 
 if __name__ == "__main__":

@@ -6,7 +6,8 @@ Each stage is error-isolated (ADVICE r2): a crash prints a JSON error line
 and the suite continues — a dead stage must never cost the others their
 already-paid tunnel attach.
 
-Usage: python benchmarks/run_tpu_suite.py [headline nuts anatomy sgpr svgp]
+Usage: python benchmarks/run_tpu_suite.py \
+    [headline nuts nuts-sweep anatomy sgpr svgp svgp10m pallas edr-scale]
 """
 
 import json
@@ -53,6 +54,11 @@ def main():
         import anatomy_tpu
         _stage("anatomy", anatomy_tpu.main)
 
+    if "nuts-sweep" in which:
+        import nuts_tpu
+        sys.argv = ["nuts_tpu", "--sweep"]
+        _stage("nuts-sweep", nuts_tpu.main)
+
     if "sgpr" in which:
         import baseline_scale_tpu
         _stage("sgpr", baseline_scale_tpu.run_sgpr_100k)
@@ -60,6 +66,18 @@ def main():
     if "svgp" in which:
         import baseline_scale_tpu
         _stage("svgp", baseline_scale_tpu.run_svgp_1m)
+
+    if "svgp10m" in which:
+        import baseline_scale_tpu
+        _stage("svgp10m", baseline_scale_tpu.run_svgp_10m_smc)
+
+    if "pallas" in which:
+        import hardened_sweep_r4
+        _stage("pallas", hardened_sweep_r4.main)
+
+    if "edr-scale" in which:
+        import edr_scale_tpu
+        _stage("edr-scale", edr_scale_tpu.run_tpu)
 
 
 if __name__ == "__main__":

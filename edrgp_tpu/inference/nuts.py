@@ -420,6 +420,7 @@ def run_nuts_segmented(logprob_fn: Callable, q0: jnp.ndarray, key, *,
                        segment_len: int = 32, pool_eps: bool = False,
                        inv_mass0: jnp.ndarray | None = None,
                        chain_chunk: int | None = None,
+                       reuse_adaptation: tuple | None = None,
                        on_segment: Callable | None = None):
     """Multi-chain NUTS as a sequence of bounded device programs.
 
@@ -447,32 +448,47 @@ def run_nuts_segmented(logprob_fn: Callable, q0: jnp.ndarray, key, *,
     states = jax.jit(group_vmap(lambda q: init_state(logprob_fn, q),
                                 chain_chunk))(q0)
     key, k_eps = jax.random.split(jnp.asarray(key))
-    eps_keys = jax.random.split(k_eps, q0.shape[0])
-    im = None if inv_mass0 is None else jnp.asarray(inv_mass0, q0.dtype)
-    eps0 = jax.jit(group_vmap(lambda s, k: find_reasonable_epsilon(
-        logprob_fn, s, k, inv_mass=im), chain_chunk))(states, eps_keys)
-    if pool_eps:
-        eps0 = jnp.full_like(eps0, jnp.exp(jnp.mean(jnp.log(eps0))))
-    adapts = jax.vmap(lambda q, e: window_adaptation_init(
-        q, e, inv_mass0=im))(q0, eps0)
-    half = num_warmup // 2
 
-    for phase, length in (("warmup1", half), ("warmup2", num_warmup - half)):
-        done = 0
-        for seg in _chunks(length, segment_len):
-            states, adapts, key = warm_seg(states, adapts, key, seg)
-            # readback barrier, not block_until_ready: this round's
-            # tunneled runtime acks block_until_ready before the work is
-            # done (results/timing_probe_r4.log), which would corrupt the
-            # host-side per-segment wall clocks
-            _ = np.asarray(states.q[:1])
-            done += seg
-            if on_segment is not None:
-                on_segment(phase, done, length)
-        adapts = jax.vmap(_finalize_mass)(adapts)
+    if reuse_adaptation is not None:
+        # Adaptation transfer: sample with a tuned kernel (ε, inv_mass)
+        # from a previous run on the same target — chains are exchangeable,
+        # so warmup is paid once and amortized across every subsequent
+        # chain group (the pooled-adaptation story at 1024 chains on one
+        # chip; quality is verified downstream by split-R̂/ESS over ALL
+        # chains).
+        eps_in, im_in = reuse_adaptation
+        eps = jnp.broadcast_to(
+            jnp.asarray(eps_in, q0.dtype).reshape(-1)[:1], (q0.shape[0],))
+        inv_mass = jnp.broadcast_to(
+            jnp.asarray(im_in, q0.dtype)[None, :], q0.shape)
+    else:
+        eps_keys = jax.random.split(k_eps, q0.shape[0])
+        im = None if inv_mass0 is None else jnp.asarray(inv_mass0, q0.dtype)
+        eps0 = jax.jit(group_vmap(lambda s, k: find_reasonable_epsilon(
+            logprob_fn, s, k, inv_mass=im), chain_chunk))(states, eps_keys)
+        if pool_eps:
+            eps0 = jnp.full_like(eps0, jnp.exp(jnp.mean(jnp.log(eps0))))
+        adapts = jax.vmap(lambda q, e: window_adaptation_init(
+            q, e, inv_mass0=im))(q0, eps0)
+        half = num_warmup // 2
 
-    eps = jnp.exp(adapts.log_eps_avg)
-    inv_mass = adapts.inv_mass
+        for phase, length in (("warmup1", half),
+                              ("warmup2", num_warmup - half)):
+            done = 0
+            for seg in _chunks(length, segment_len):
+                states, adapts, key = warm_seg(states, adapts, key, seg)
+                # readback barrier, not block_until_ready: this round's
+                # tunneled runtime acks block_until_ready before the work
+                # is done (results/timing_probe_r4.log), which would
+                # corrupt the host-side per-segment wall clocks
+                _ = np.asarray(states.q[:1])
+                done += seg
+                if on_segment is not None:
+                    on_segment(phase, done, length)
+            adapts = jax.vmap(_finalize_mass)(adapts)
+
+        eps = jnp.exp(adapts.log_eps_avg)
+        inv_mass = adapts.inv_mass
 
     qs_parts, acc_parts, div_parts, leaf_parts = [], [], [], []
     done = 0

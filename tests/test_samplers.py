@@ -271,3 +271,22 @@ def test_smc_segmented_matches_monolithic_quality():
     assert abs(info["log_evidence"] - true_logZ) < 0.3
     np.testing.assert_allclose(np.asarray(parts.mean(0)), np.asarray(MU),
                                atol=0.3)
+
+
+def test_nuts_adaptation_reuse():
+    """Adaptation transfer: a second chain group sampling with the first
+    group's tuned (eps, inv_mass) — no warmup — must produce sound
+    moments (the 1024-chain warmup-amortization path)."""
+    from edrgp_tpu.inference.nuts import run_nuts_segmented
+    q0 = jnp.zeros((8, 2))
+    kw = dict(num_samples=200, max_depth=6, segment_len=25)
+    _, info = run_nuts_segmented(gauss_logprob, q0, jax.random.PRNGKey(2),
+                                 num_warmup=200, pool_eps=True, **kw)
+    reuse = (np.asarray(info["step_size"]).ravel()[0],
+             np.asarray(info["inv_mass"]).mean(axis=0))
+    qs2, info2 = run_nuts_segmented(gauss_logprob, q0 + 0.1,
+                                    jax.random.PRNGKey(9), num_warmup=0,
+                                    reuse_adaptation=reuse, **kw)
+    assert info2["divergences"] == 0
+    pooled = np.asarray(qs2).reshape(-1, 2)
+    np.testing.assert_allclose(pooled.mean(0), np.asarray(MU), atol=0.3)
