@@ -82,22 +82,32 @@ def make_data(seed=0):
     return X, y, B
 
 
-def brief_intro_components(seeds=(0, 1, 2, 3, 4)):
-    """BriefIntro 10-D one-shot EDR; returns per-seed (components, disc)."""
+def brief_intro_components(seeds=(0, 1, 2, 3, 4), num_restarts=None):
+    """BriefIntro 10-D one-shot EDR; per-seed components, discrepancy,
+    and the fitted first-fit NLML (fit the GP directly — the one-shot EDR
+    is exactly fit → predict_gradient → SVD — so NLML and components come
+    from the same model; going through the EDR class would report the
+    reduced-space refit's NLML instead)."""
     rows = []
     for seed in seeds:
         rng = np.random.default_rng(seed)
         X = get_beta_inputs(200, 10, rng=rng)
         B = np.linalg.qr(rng.normal(size=(10, 2)))[0]
         y = get_edr_target(X @ B, sigma=0.1, rng=rng)
-        edr = EffectiveDimensionalityReduction(
-            GaussianProcessRegressor(["RBF"], [{"ARD": True}]),
-            SVDTransformer(), normalize=False)
-        edr.fit(X, y)
-        comps2 = np.asarray(edr.components_.T[:, :2], np.float64)
+        gp = GaussianProcessRegressor(
+            ["RBF"], [{"ARD": True}],
+            method="optimize_restarts" if num_restarts else "optimize")
+        if num_restarts:
+            gp.fit(X, y, num_restarts=num_restarts, verbose=False)
+        else:
+            gp.fit(X, y)
+        comps2 = np.asarray(
+            SVDTransformer().fit(gp.predict_gradient(X)).components_[:2].T,
+            np.float64)
         rows.append({"seed": seed,
                      "discrepancy_vs_truth": round(float(
                          discrepancy(B, comps2)), 4),
+                     "nlml": round(-float(gp.estimator_.log_likelihood()), 3),
                      "components_top2": comps2.tolist()})
     return rows
 
@@ -170,11 +180,16 @@ def run_tpu():
     edr.fit(X, y, max_iters=1500)
     edr_s = time.perf_counter() - t0
     comps_edr = np.asarray(edr.components_.T)      # [Q, d]
+    # discrepancy assumes an orthonormal V; the user-facing class folds the
+    # StandardScaler back into components_ (a pure linear map on raw
+    # features), so orthonormalize the column space first — principal
+    # angles already do.
+    comps_edr_on = np.linalg.qr(comps_edr)[0]
     angles_edr = principal_angles_deg(B, comps_edr)
     res["edr_class_pipeline"] = emit(
         stage="edr_class_pipeline",
         wall_s=round(edr_s, 2),
-        discrepancy_vs_truth=round(float(discrepancy(B, comps_edr)), 4),
+        discrepancy_vs_truth=round(float(discrepancy(B, comps_edr_on)), 4),
         principal_angles_deg=[round(float(a), 3) for a in angles_edr],
         subspace_variance_ratio=[round(float(r), 5)
                                  for r in edr.subspace_variance_ratio_])
@@ -184,7 +199,17 @@ def run_tpu():
     res["brief_intro_tpu_fp32"] = brief_intro_components()
     emit(stage="brief_intro_tpu_fp32",
          wall_s=round(time.perf_counter() - t0, 2),
-         disc=[r["discrepancy_vs_truth"] for r in res["brief_intro_tpu_fp32"]])
+         disc=[r["discrepancy_vs_truth"] for r in res["brief_intro_tpu_fp32"]],
+         nlml=[r["nlml"] for r in res["brief_intro_tpu_fp32"]])
+    # fp32 multimodality probe: do restarts rescue the bad-seed optima?
+    t0 = time.perf_counter()
+    res["brief_intro_tpu_fp32_restarts5"] = brief_intro_components(
+        num_restarts=5)
+    emit(stage="brief_intro_tpu_fp32_restarts5",
+         wall_s=round(time.perf_counter() - t0, 2),
+         disc=[r["discrepancy_vs_truth"]
+               for r in res["brief_intro_tpu_fp32_restarts5"]],
+         nlml=[r["nlml"] for r in res["brief_intro_tpu_fp32_restarts5"]])
 
     ds.close()
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
@@ -206,6 +231,8 @@ def run_cpu_compare():
             "seed": rt["seed"],
             "disc_tpu_fp32": rt["discrepancy_vs_truth"],
             "disc_cpu_f64": rc["discrepancy_vs_truth"],
+            "nlml_tpu_fp32": rt.get("nlml"),
+            "nlml_cpu_f64": rc.get("nlml"),
             "subspace_discrepancy_tpu_vs_cpu": round(float(
                 discrepancy(cc, ct)), 5),
             "max_principal_angle_deg_tpu_vs_cpu": round(float(

@@ -100,32 +100,53 @@ from functools import lru_cache
 def _make_segment(raw: Callable, opt, max_iters: int, tol: float,
                   segment_iters: int) -> Callable:
     """Build the bounded-iteration L-BFGS segment body for
-    ``raw(params, *data) -> scalar``."""
+    ``raw(params, *data) -> scalar``.
 
-    def seg(params, state, *data):
+    The segment carries the BEST finite iterate alongside the optimizer
+    state: in float32 the zoom line search can diverge (accept a huge
+    step, then walk in garbage territory until the gradient goes
+    non-finite), and returning the *last* iterate then silently hands
+    back an arbitrarily bad fit — observed on the TPU BriefIntro probe
+    as NLML 1.7e6 vs the true optimum ~150
+    (results/EDR_SCALE_r04.json brief_intro_tpu_fp32, first capture).
+    The continuation state still threads the last iterate (L-BFGS may
+    legitimately pass through worse points), but callers receive the
+    best-seen params/value.
+    """
+
+    def seg(params, state, best_p, best_v, *data):
         fun = _guard(lambda p: raw(p, *data))
         value_and_grad = optax.value_and_grad_from_state(fun)
 
         def cond(c):
-            _, state, k = c
+            _, state, k, _, _ = c
             count = otu.tree_get(state, "count")
             err = otu.tree_norm(otu.tree_get(state, "grad"))
             live = (count == 0) | ((count < max_iters) & (err >= tol))
             return live & (k < segment_iters)
 
         def step(c):
-            params, state, k = c
+            params, state, k, best_p, best_v = c
             value, grad = value_and_grad(params, state=state)
+            better = value < best_v
+            best_p = jax.tree_util.tree_map(
+                lambda b, p: jnp.where(better, p, b), best_p, params)
+            best_v = jnp.where(better, value, best_v)
             updates, state = opt.update(grad, state, params, value=value,
                                         grad=grad, value_fn=fun)
             params = optax.apply_updates(params, updates)
-            return params, state, k + 1
+            return params, state, k + 1, best_p, best_v
 
-        params, state, _ = lax.while_loop(
-            cond, step, (params, state, jnp.int32(0)))
+        params, state, _, best_p, best_v = lax.while_loop(
+            cond, step, (params, state, jnp.int32(0), best_p, best_v))
+        final_v = fun(params)
+        better = final_v < best_v
+        best_p = jax.tree_util.tree_map(
+            lambda b, p: jnp.where(better, p, b), best_p, params)
+        best_v = jnp.where(better, final_v, best_v)
         count = otu.tree_get(state, "count")
         err = otu.tree_norm(otu.tree_get(state, "grad"))
-        return params, state, count, err, fun(params)
+        return params, state, count, err, best_p, best_v
 
     return seg
 
@@ -137,7 +158,7 @@ def _segment_runners(objective: str, kernel, max_iters: int, tol: float,
     raw = _OBJECTIVES[objective](kernel)
     seg = _make_segment(raw, opt, max_iters, tol, segment_iters)
     single = jax.jit(seg)
-    batched = jax.jit(jax.vmap(seg, in_axes=(0, 0) + (None,) * n_data))
+    batched = jax.jit(jax.vmap(seg, in_axes=(0, 0, 0, 0) + (None,) * n_data))
     return opt, single, batched
 
 
@@ -150,12 +171,15 @@ def minimize_segmented(objective: str, kernel, init_params, data: tuple, *,
                                       float(tol), int(memory_size),
                                       int(segment_iters), len(data))
     params, state = init_params, opt.init(init_params)
+    dt = jnp.result_type(*jax.tree_util.tree_leaves(init_params))
+    best_p, best_v = init_params, jnp.asarray(jnp.inf, dt)
     while True:
-        params, state, count, err, value = single(params, state, *data)
+        params, state, count, err, best_p, best_v = single(
+            params, state, best_p, best_v, *data)
         c, e = int(count), float(err)
         if c >= max_iters or (c > 0 and e < tol) or not jnp.isfinite(e):
             break
-    return LBFGSResult(params=params, value=value, grad_norm=err,
+    return LBFGSResult(params=best_p, value=best_v, grad_norm=err,
                        num_iters=count)
 
 
@@ -177,12 +201,15 @@ def minimize_segmented_fn(fun: Callable, init_params, data: tuple = (), *,
     single = jax.jit(_make_segment(fun, opt, int(max_iters), float(tol),
                                    int(segment_iters)))
     params, state = init_params, opt.init(init_params)
+    dt = jnp.result_type(*jax.tree_util.tree_leaves(init_params))
+    best_p, best_v = init_params, jnp.asarray(jnp.inf, dt)
     while True:
-        params, state, count, err, value = single(params, state, *data)
+        params, state, count, err, best_p, best_v = single(
+            params, state, best_p, best_v, *data)
         c, e = int(count), float(err)
         if c >= max_iters or (c > 0 and e < tol) or not jnp.isfinite(e):
             break
-    return LBFGSResult(params=params, value=value, grad_norm=err,
+    return LBFGSResult(params=best_p, value=best_v, grad_norm=err,
                        num_iters=count)
 
 
@@ -196,19 +223,24 @@ def minimize_restarts_segmented(objective: str, kernel, init_batch,
                                        int(segment_iters), len(data))
     params = init_batch
     state = jax.vmap(opt.init)(init_batch)
+    n_runs = jax.tree_util.tree_leaves(init_batch)[0].shape[0]
+    dt = jnp.result_type(*jax.tree_util.tree_leaves(init_batch))
+    best_p = init_batch
+    best_v = jnp.full((n_runs,), jnp.inf, dt)
     while True:
-        params, state, count, err, value = batched(params, state, *data)
+        params, state, count, err, best_p, best_v = batched(
+            params, state, best_p, best_v, *data)
         counts = np.asarray(count)
         errs = np.asarray(err)
         done = (counts >= max_iters) | ((counts > 0) & (errs < tol)) \
             | ~np.isfinite(errs)
         if done.all():
             break
-    values = jnp.where(jnp.isfinite(value), value,
-                       jnp.asarray(jnp.inf, value.dtype))
+    values = jnp.where(jnp.isfinite(best_v), best_v,
+                       jnp.asarray(jnp.inf, best_v.dtype))
     best = int(jnp.argmin(values))
     take = lambda t: jax.tree_util.tree_map(lambda x: x[best], t)
-    return LBFGSResult(params=take(params), value=value[best],
+    return LBFGSResult(params=take(best_p), value=best_v[best],
                        grad_norm=err[best], num_iters=count[best])
 
 
