@@ -111,7 +111,7 @@ def run_svgp_10m_smc(n=10_000_000, q=8, m=512, steps=3000, batch=8192):
                 name="svgp_streaming_10m")
 
 
-def run_smc_hyper(model, ds, n_total, n_particles=1024, n_sub=32768,
+def run_smc_hyper(model, ds, n_total, n_particles=1024, n_sub=16384,
                   particle_chunk=32):
     """SMC over GP hyperparameters with the SVGP-bound likelihood on-chip.
 

@@ -159,29 +159,37 @@ def run_smc_segmented(loglik_fn: Callable, logprior_fn: Callable,
 
     Returns (particles [N, D], info) with ``beta_trace`` / ``ess_trace``
     as Python lists of the stages actually run.
+
+    Grouping is HOST-LEVEL: each likelihood/rejuvenation dispatch vmaps
+    only ``particle_chunk`` particles (in-program ``lax.map`` grouping of
+    heavy vmapped bodies reliably faults this host's TPU worker — the
+    same failure as ≥128-chain NUTS programs, results/svgp10m_smc_r4.err
+    first capture).  The group results concatenate on the host; the
+    β-selection/resampling step is one light program over all particles.
     """
     import numpy as np
-
-    from .nuts import group_vmap
 
     N, D = particles0.shape
     dt = particles0.dtype
     target = target_ess_frac * N
-    vlik = jax.jit(group_vmap(loglik_fn, particle_chunk))
+    chunk = int(particle_chunk) if particle_chunk else N
+    if N % chunk:
+        raise ValueError(f"particles ({N}) must divide by particle_chunk "
+                         f"({chunk})")
+    G = N // chunk
+    vlik = jax.jit(jax.vmap(loglik_fn))
 
     @jax.jit
-    def one_stage(particles, beta, logZ, key_stage):
-        k_res, k_mcmc = jax.random.split(key_stage)
-        loglik = vlik(particles)
+    def select(loglik, particles, beta, logZ, k_res):
         new_beta = _next_beta(loglik, beta, target)
-        dbeta = new_beta - beta
-        log_w = dbeta * loglik
+        log_w = (new_beta - beta) * loglik
         ess_val = ess(log_w)
         logZ = logZ + jax.nn.logsumexp(log_w) - jnp.log(jnp.asarray(N, dt))
-
         idx = systematic_resample(k_res, log_w)
-        particles = particles[idx]
+        return particles[idx], new_beta, logZ, ess_val
 
+    @jax.jit
+    def rejuv_group(parts_g, new_beta, keys_g):
         def temp_logprob(q):
             return new_beta * loglik_fn(q) + logprior_fn(q)
 
@@ -197,9 +205,7 @@ def run_smc_segmented(loglik_fn: Callable, logprior_fn: Callable,
             st, _ = lax.scan(sweep, st, keys)
             return st.q
 
-        mkeys = jax.random.split(k_mcmc, N * num_mcmc).reshape(N, num_mcmc, 2)
-        particles = group_vmap(one_particle, particle_chunk)(particles, mkeys)
-        return particles, new_beta, logZ, ess_val
+        return jax.vmap(one_particle)(parts_g, keys_g)
 
     particles = particles0
     beta = jnp.zeros((), dt)
@@ -207,9 +213,20 @@ def run_smc_segmented(loglik_fn: Callable, logprior_fn: Callable,
     betas, esss = [], []
     key = jnp.asarray(key)
     for stage_idx in range(max_stages):
-        key, sub = jax.random.split(key)
-        particles, beta, logZ, ess_val = one_stage(particles, beta, logZ, sub)
-        jax.block_until_ready(particles)
+        key, k_res, k_mcmc = jax.random.split(key, 3)
+        loglik = jnp.concatenate(
+            [vlik(particles[g * chunk:(g + 1) * chunk]) for g in range(G)])
+        particles, new_beta, logZ, ess_val = select(
+            loglik, particles, beta, logZ, k_res)
+        mkeys = jax.random.split(k_mcmc, N * num_mcmc).reshape(
+            N, num_mcmc, 2)
+        parts_out = []
+        for g in range(G):
+            sl = slice(g * chunk, (g + 1) * chunk)
+            parts_out.append(np.asarray(
+                rejuv_group(particles[sl], new_beta, mkeys[sl])))
+        particles = jnp.asarray(np.concatenate(parts_out))
+        beta = new_beta
         betas.append(float(beta))
         esss.append(float(ess_val))
         if on_stage is not None:
