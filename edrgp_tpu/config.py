@@ -89,6 +89,14 @@ def cpu_compile_cache_dir(base_dir: str) -> str:
     dir written by an older fingerprint scheme) purges the stale entries
     rather than letting XLA load them.  TPU programs (compiled remotely,
     host-independent) stay at ``base_dir`` root.
+
+    CAUTION (r4): host keying is necessary but NOT sufficient — one
+    same-host abort was observed with a cache populated entirely by this
+    host's own processes (an SPMD sharded-L-BFGS program; purge fixed it).
+    XLA:CPU AOT loading on this jaxlib is best treated as unreliable:
+    batch scripts may opt in for the warm-compile win (their crashes are
+    visible and retryable), but the test suite runs cache-less by default
+    (``tests/conftest.py``; opt in with ``EDRGP_TEST_CACHE=1``).
     """
     import hashlib
     import os
