@@ -139,14 +139,22 @@ class SVGPModel(_BaseModel):
 
     def optimize_stream(self, batches, n_total: int, steps: int = 1000,
                         lr: float = 3e-3, messages: bool = False,
-                        log_every: int = 0, metrics_logger=None):
+                        log_every: int = 0, metrics_logger=None,
+                        scan_chunk: int = 16):
         """Train from a host-side minibatch iterator (the N ≫ memory path).
 
         ``batches`` yields (X_b [B,Q], y_b [B]) — typically
         ``edrgp_tpu.data.MMapDataset.batches(...)`` backed by the native
-        C++ loader, so batch gather overlaps device compute.  One jitted
-        step per batch: Adam on hyperparameters + a natural-gradient update
-        of q(u) with a 1/(1+0.05·t) step-size schedule.
+        C++ loader, so batch gather overlaps device compute.  Each step:
+        Adam on hyperparameters + a natural-gradient update of q(u) with a
+        1/(1+0.05·t) step-size schedule.
+
+        ``scan_chunk`` batches are prefetched, stacked, and advanced by ONE
+        jitted ``lax.scan`` program — on a remotely-scheduled runtime a
+        per-step host dispatch pays the tunnel's RPC latency every step
+        (measured 60.8 s vs 351–792 s for the SAME 10M-row fit purely on
+        RPC weather, results/svgp10m_smc_r4*.log); chunking divides that
+        exposure by ``scan_chunk``.  Set 1 to recover per-step dispatch.
         """
         import optax as _optax
         opt = _optax.adam(lr)
@@ -155,35 +163,49 @@ class SVGPModel(_BaseModel):
         n_total_f = float(n_total)
 
         @partial(jax.jit, static_argnames=())
-        def one_step(params, qstate, opt_state, Xb, yb, rho):
-            m, S = _svgp.q_from_natural(qstate)
+        def chunk_steps(params, qstate, opt_state, Xc, yc, rhos):
+            def one(carry, inp):
+                params, qstate, opt_state = carry
+                Xb, yb, rho = inp
+                m, S = _svgp.q_from_natural(qstate)
 
-            def loss_fn(p):
-                return -_svgp.svgp_elbo(kernel, p, m, S, Xb, yb, n_total_f)
+                def loss_fn(p):
+                    return -_svgp.svgp_elbo(kernel, p, m, S, Xb, yb,
+                                            n_total_f)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = _optax.apply_updates(params, updates)
-            qstate = _svgp.natural_gradient_update(kernel, params, qstate,
-                                                   Xb, yb, n_total_f, rho)
-            return params, qstate, opt_state, -loss
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = _optax.apply_updates(params, updates)
+                qstate = _svgp.natural_gradient_update(
+                    kernel, params, qstate, Xb, yb, n_total_f, rho)
+                return (params, qstate, opt_state), -loss
+
+            (params, qstate, opt_state), elbos = jax.lax.scan(
+                one, (params, qstate, opt_state), (Xc, yc, rhos))
+            return params, qstate, opt_state, elbos
 
         params, qstate = self.params, self.qstate
         mu_y, std_y = self.normalizer.mean, self.normalizer.std
+        dt = self._X.dtype
         elbo = float("nan")
-        for t in range(steps):
-            Xb, yb = next(batches)
-            yb = (np.asarray(yb) - mu_y) / std_y
-            rho = 0.5 / (1.0 + 0.05 * t)
-            params, qstate, opt_state, elbo = one_step(
-                params, qstate, opt_state,
-                jnp.asarray(Xb, self._X.dtype), jnp.asarray(yb, self._X.dtype),
-                jnp.asarray(rho, self._X.dtype))
-            if log_every and t % log_every == 0:
+        t = 0
+        while t < steps:
+            k = min(int(scan_chunk), steps - t)
+            Xs, ys = zip(*(next(batches) for _ in range(k)))
+            Xc = jnp.asarray(np.stack(Xs), dt)
+            yc = jnp.asarray((np.stack(ys) - mu_y) / std_y, dt)
+            rhos = jnp.asarray(
+                [0.5 / (1.0 + 0.05 * (t + i)) for i in range(k)], dt)
+            params, qstate, opt_state, elbos = chunk_steps(
+                params, qstate, opt_state, Xc, yc, rhos)
+            elbo = elbos[-1]
+            if log_every and (t // max(int(scan_chunk), 1)) % max(
+                    log_every // max(int(scan_chunk), 1), 1) == 0:
                 if metrics_logger is not None:
                     metrics_logger.log(t, elbo=float(elbo))
                 if messages:
                     print(f"step {t}: minibatch ELBO {float(elbo):.2f}")
+            t += k
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.qstate = qstate
         self._objective = float(-elbo)

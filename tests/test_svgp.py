@@ -117,3 +117,35 @@ def test_streaming_fit_from_disk(tmp_path):
     pred, _ = model.predict(X[:500])
     assert np.sqrt(np.mean((pred[:, 0] - np.sin(X[:500, 0])) ** 2)) < 0.12
     ds.close()
+
+
+def test_optimize_stream_scan_chunk_equivalence():
+    """Chunked-scan streaming (the RPC-latency armor) must reproduce the
+    per-step path exactly given the same batch sequence."""
+    import itertools
+
+    from edrgp_tpu.models.svgp import SVGPModel
+    from edrgp_tpu.ops.kernels import RBF
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(512, 3))
+    y = np.sin(X[:, 0]) + 0.1 * rng.normal(size=512)
+
+    def batch_iter():
+        r = np.random.default_rng(42)
+        while True:
+            idx = r.integers(0, 512, size=64)
+            yield X[idx], y[idx]
+
+    def fit(chunk):
+        m = SVGPModel(X[:128], y[:128], RBF(3, ARD=True), num_inducing=16,
+                      seed=0)
+        m.optimize_stream(batch_iter(), n_total=512, steps=30,
+                          scan_chunk=chunk)
+        return m
+
+    m1, m4 = fit(1), fit(4)
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8)
+    np.testing.assert_allclose(m1._objective, m4._objective, rtol=1e-8)
