@@ -1,4 +1,8 @@
-"""Second blocked-Cholesky experiment (N=10k, fp32, single chip).
+"""Second blocked-Cholesky experiment [SUPERSEDED TIMING —
+this script's dispatch-loop timeit is void on the r4 host
+(results/timing_probe_r4.log); the valid re-measurement is
+benchmarks/hardened_sweep_r4.py -> results/hardened_sweep_r4.log.
+Accuracy (rel_err) rows remain valid.] (N=10k, fp32, single chip).
 
 v1 (``ops/linalg.py::cholesky_blocked``) lost to XLA's stock kernel
 (24.0 vs 22.6 ms): its full trailing update costs 2N^3/3 gemm flops and its

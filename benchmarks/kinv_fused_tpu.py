@@ -1,4 +1,8 @@
-"""Adjoint-floor sweep (VERDICT r3 #8): the one restructure not yet swept.
+"""Adjoint-floor sweep [SUPERSEDED TIMING —
+this script's dispatch-loop timeit is void on the r4 host
+(results/timing_probe_r4.log); the valid re-measurement is
+benchmarks/hardened_sweep_r4.py -> results/hardened_sweep_r4.log.
+Accuracy (rel_err) rows remain valid.] (VERDICT r3 #8): the one restructure not yet swept.
 
 The NLML value+grad floor at N=10k is the explicit K⁻¹ in the trace-form
 adjoint: trtri-HIGH 15.0 ms + lauum-DEFAULT 10.5 ms of the 41.5 ms/eval.

@@ -1,4 +1,8 @@
-"""Pallas wire-or-retire benchmark (VERDICT r3 #4): on-hardware numbers for
+"""Pallas wire-or-retire benchmark [SUPERSEDED TIMING —
+this script's dispatch-loop timeit is void on the r4 host
+(results/timing_probe_r4.log); the valid re-measurement is
+benchmarks/hardened_sweep_r4.py -> results/hardened_sweep_r4.log.
+Accuracy (rel_err) rows remain valid.] (VERDICT r3 #4): on-hardware numbers for
 the two fused RBF kernels in ``ops/pallas/rbf.py`` against the production
 XLA paths they would replace.
 
