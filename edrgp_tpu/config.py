@@ -101,6 +101,7 @@ def cpu_compile_cache_dir(base_dir: str) -> str:
     import hashlib
     import os
     import shutil
+    import tempfile
 
     fp = host_fingerprint()
     key = hashlib.sha256(fp.encode()).hexdigest()[:12]
@@ -110,15 +111,40 @@ def cpu_compile_cache_dir(base_dir: str) -> str:
         with open(marker) as f:
             stale = f.read() != fp
     except OSError:
-        stale = False
+        # A populated dir with NO marker is treated as stale too: it is
+        # either a partial creation (process died between makedirs and the
+        # marker write) or predates the marker scheme — adopting and
+        # stamping it would bless entries of unknown provenance (ADVICE r4).
+        stale = os.path.isdir(path) and bool(os.listdir(path))
     if stale:
         shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     if not os.path.exists(marker):
-        with open(marker, "w") as f:
-            f.write(fp)
+        # Atomic write (temp + rename) so a concurrent reader never sees a
+        # half-written marker and a crash never leaves one.
+        fd, tmp = tempfile.mkstemp(dir=path, prefix=".fp-")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(fp)
+            os.replace(tmp, marker)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return path
 
+
+# --------------------------------------------------------------------------
+# Precision / dispatch knobs.
+#
+# CAVEAT (applies to every knob below): the value is resolved at TRACE time
+# and is NOT part of any jit cache key.  Calling a ``set_*`` function after
+# programs have compiled (including the lru_cache'd L-BFGS segment runners
+# in :mod:`edrgp_tpu.inference.lbfgs`) leaves the already-compiled
+# executables on the old setting.  Set knobs (env vars or ``set_*`` calls)
+# BEFORE the first kernel op is traced; to re-trace after a change, clear
+# jit caches (``jax.clear_caches()`` plus
+# ``inference.lbfgs._segment_runners.cache_clear()``).
+# --------------------------------------------------------------------------
 
 #: MXU precision for the blocked trtri/lauum gemms on the NLML adjoint path
 #: (:mod:`edrgp_tpu.ops.linalg`).  On TPU, float32 matmuls at DEFAULT
@@ -199,3 +225,42 @@ def set_kernel_precision(name: str | None):
     global _KERNEL_PRECISION
     _KERNEL_PRECISION = (None if name is None
                          else getattr(jax.lax.Precision, name.upper()))
+
+
+#: Dispatch policy for the fused-Pallas predictive-gradient fast path
+#: (:func:`edrgp_tpu.ops.exact._pallas_grad_dispatch`).  The fast path
+#: changes numerics by ~4e-5 relative (in-kernel 3-pass hi/lo bf16 dots),
+#: so it is overridable like the precision knobs:
+#:
+#:   * ``auto`` (default) — engage on TPU float32 plain-RBF problems with
+#:     M·N ≥ 2²² (where it measured 1.5–1.8× the autodiff path);
+#:   * ``off`` — never engage: ``predictive_gradients`` is exact-autodiff
+#:     everywhere (parity-grade TPU runs; debugging a subspace difference
+#:     across the size threshold);
+#:   * ``force`` — engage on every structurally-eligible call (plain
+#:     full-dimension RBF, f32) regardless of platform or size; on non-TPU
+#:     backends the Pallas kernel runs in interpret mode (slow, test-grade).
+_PALLAS_GRAD_MODE = None
+
+
+def pallas_grad_mode() -> str:
+    """Resolved fused-gradient dispatch mode: 'auto' | 'off' | 'force'."""
+    global _PALLAS_GRAD_MODE
+    if _PALLAS_GRAD_MODE is None:
+        import os
+        mode = os.environ.get("EDRGP_PALLAS_GRAD", "auto").lower()
+        if mode not in ("auto", "off", "force"):
+            raise ValueError(
+                f"EDRGP_PALLAS_GRAD must be auto|off|force, got {mode!r}")
+        _PALLAS_GRAD_MODE = mode
+    return _PALLAS_GRAD_MODE
+
+
+def set_pallas_grad_mode(mode: str | None):
+    """Override the fused-gradient dispatch ('auto' | 'off' | 'force');
+    None resets to the environment/default resolution.  Trace-time caveat
+    above applies."""
+    global _PALLAS_GRAD_MODE
+    if mode is not None and mode not in ("auto", "off", "force"):
+        raise ValueError(f"mode must be auto|off|force, got {mode!r}")
+    _PALLAS_GRAD_MODE = mode

@@ -111,42 +111,49 @@ def _make_segment(raw: Callable, opt, max_iters: int, tol: float,
     (results/EDR_SCALE_r04.json brief_intro_tpu_fp32, first capture).
     The continuation state still threads the last iterate (L-BFGS may
     legitimately pass through worse points), but callers receive the
-    best-seen params/value.
+    best-seen params/value — and the gradient norm AT that best iterate
+    (carried alongside, so the reported |g| always describes the returned
+    params; ADVICE r4).  ``num_iters`` remains the total iteration count
+    of the run, not the index of the best iterate.
     """
 
-    def seg(params, state, best_p, best_v, *data):
+    def seg(params, state, best_p, best_v, best_g, *data):
         fun = _guard(lambda p: raw(p, *data))
         value_and_grad = optax.value_and_grad_from_state(fun)
 
         def cond(c):
-            _, state, k, _, _ = c
+            _, state, k, _, _, _ = c
             count = otu.tree_get(state, "count")
             err = otu.tree_norm(otu.tree_get(state, "grad"))
             live = (count == 0) | ((count < max_iters) & (err >= tol))
             return live & (k < segment_iters)
 
         def step(c):
-            params, state, k, best_p, best_v = c
+            params, state, k, best_p, best_v, best_g = c
             value, grad = value_and_grad(params, state=state)
             better = value < best_v
             best_p = jax.tree_util.tree_map(
                 lambda b, p: jnp.where(better, p, b), best_p, params)
             best_v = jnp.where(better, value, best_v)
+            best_g = jnp.where(better, otu.tree_norm(grad), best_g)
             updates, state = opt.update(grad, state, params, value=value,
                                         grad=grad, value_fn=fun)
             params = optax.apply_updates(params, updates)
-            return params, state, k + 1, best_p, best_v
+            return params, state, k + 1, best_p, best_v, best_g
 
-        params, state, _, best_p, best_v = lax.while_loop(
-            cond, step, (params, state, jnp.int32(0), best_p, best_v))
+        params, state, _, best_p, best_v, best_g = lax.while_loop(
+            cond, step, (params, state, jnp.int32(0), best_p, best_v, best_g))
         final_v = fun(params)
+        count = otu.tree_get(state, "count")
+        # optax's linesearch leaves state.grad at the accepted (= current)
+        # params, so err is the gradient norm of the final iterate.
+        err = otu.tree_norm(otu.tree_get(state, "grad"))
         better = final_v < best_v
         best_p = jax.tree_util.tree_map(
             lambda b, p: jnp.where(better, p, b), best_p, params)
         best_v = jnp.where(better, final_v, best_v)
-        count = otu.tree_get(state, "count")
-        err = otu.tree_norm(otu.tree_get(state, "grad"))
-        return params, state, count, err, best_p, best_v
+        best_g = jnp.where(better, err, best_g)
+        return params, state, count, err, best_p, best_v, best_g
 
     return seg
 
@@ -158,7 +165,7 @@ def _segment_runners(objective: str, kernel, max_iters: int, tol: float,
     raw = _OBJECTIVES[objective](kernel)
     seg = _make_segment(raw, opt, max_iters, tol, segment_iters)
     single = jax.jit(seg)
-    batched = jax.jit(jax.vmap(seg, in_axes=(0, 0, 0, 0) + (None,) * n_data))
+    batched = jax.jit(jax.vmap(seg, in_axes=(0,) * 5 + (None,) * n_data))
     return opt, single, batched
 
 
@@ -173,13 +180,14 @@ def minimize_segmented(objective: str, kernel, init_params, data: tuple, *,
     params, state = init_params, opt.init(init_params)
     dt = jnp.result_type(*jax.tree_util.tree_leaves(init_params))
     best_p, best_v = init_params, jnp.asarray(jnp.inf, dt)
+    best_g = jnp.asarray(jnp.inf, dt)
     while True:
-        params, state, count, err, best_p, best_v = single(
-            params, state, best_p, best_v, *data)
+        params, state, count, err, best_p, best_v, best_g = single(
+            params, state, best_p, best_v, best_g, *data)
         c, e = int(count), float(err)
         if c >= max_iters or (c > 0 and e < tol) or not jnp.isfinite(e):
             break
-    return LBFGSResult(params=best_p, value=best_v, grad_norm=err,
+    return LBFGSResult(params=best_p, value=best_v, grad_norm=best_g,
                        num_iters=count)
 
 
@@ -203,13 +211,14 @@ def minimize_segmented_fn(fun: Callable, init_params, data: tuple = (), *,
     params, state = init_params, opt.init(init_params)
     dt = jnp.result_type(*jax.tree_util.tree_leaves(init_params))
     best_p, best_v = init_params, jnp.asarray(jnp.inf, dt)
+    best_g = jnp.asarray(jnp.inf, dt)
     while True:
-        params, state, count, err, best_p, best_v = single(
-            params, state, best_p, best_v, *data)
+        params, state, count, err, best_p, best_v, best_g = single(
+            params, state, best_p, best_v, best_g, *data)
         c, e = int(count), float(err)
         if c >= max_iters or (c > 0 and e < tol) or not jnp.isfinite(e):
             break
-    return LBFGSResult(params=best_p, value=best_v, grad_norm=err,
+    return LBFGSResult(params=best_p, value=best_v, grad_norm=best_g,
                        num_iters=count)
 
 
@@ -227,9 +236,10 @@ def minimize_restarts_segmented(objective: str, kernel, init_batch,
     dt = jnp.result_type(*jax.tree_util.tree_leaves(init_batch))
     best_p = init_batch
     best_v = jnp.full((n_runs,), jnp.inf, dt)
+    best_g = jnp.full((n_runs,), jnp.inf, dt)
     while True:
-        params, state, count, err, best_p, best_v = batched(
-            params, state, best_p, best_v, *data)
+        params, state, count, err, best_p, best_v, best_g = batched(
+            params, state, best_p, best_v, best_g, *data)
         counts = np.asarray(count)
         errs = np.asarray(err)
         done = (counts >= max_iters) | ((counts > 0) & (errs < tol)) \
@@ -241,7 +251,7 @@ def minimize_restarts_segmented(objective: str, kernel, init_batch,
     best = int(jnp.argmin(values))
     take = lambda t: jax.tree_util.tree_map(lambda x: x[best], t)
     return LBFGSResult(params=take(best_p), value=best_v[best],
-                       grad_norm=err[best], num_iters=count[best])
+                       grad_norm=best_g[best], num_iters=count[best])
 
 
 def minimize_restarts(fun: Callable, init_batch, *, max_iters: int = 1000,

@@ -164,6 +164,17 @@ class _BaseModel:
     params: dict
     _objective: float
 
+    #: Default number of vmapped perturbed inits when ``optimize()`` runs in
+    #: float32.  The fp32 NLML surface is multimodal enough that a single
+    #: default-init fit lands a wrong basin ~2/5 of the time on the
+    #: BriefIntro workload, while 5 vmapped restarts recover the f64 optimum
+    #: 5/5 (results/EDR_SCALE_r04.json brief_intro_tpu_fp32[_restarts5]) —
+    #: and the restarts are one batched program, so the marginal wall cost
+    #: is small.  Overridden to >1 only on the ML-II GP regressors where
+    #: that evidence lives; callers opt out per fit with
+    #: ``optimize(num_restarts=1)``.  f64 keeps the single-start default.
+    _f32_default_restarts = 1
+
     def _default_tol(self) -> float:
         """Gradient-norm tolerance matched to the working precision:
         1e-6 is fine in float64 but unreachable in float32 (the optimizer
@@ -178,7 +189,15 @@ class _BaseModel:
 
     # --- fitting ----------------------------------------------------------
     def optimize(self, messages: bool = False, max_iters: int = 1000,
-                 tol: float | None = None, **_ignored):
+                 tol: float | None = None, num_restarts: int | None = None,
+                 **_ignored):
+        if num_restarts is None:
+            num_restarts = (self._f32_default_restarts
+                            if self._X.dtype == jnp.float32 else 1)
+        if int(num_restarts) > 1:
+            return self.optimize_restarts(
+                num_restarts=int(num_restarts), messages=messages,
+                max_iters=max_iters, tol=tol)
         tol = self._default_tol() if tol is None else tol
         res = minimize_segmented(
             self._objective_name, self.kernel, self.params,
@@ -197,7 +216,8 @@ class _BaseModel:
                           tol: float | None = None, seed: int = 0, **_ignored):
         tol = self._default_tol() if tol is None else tol
         if num_restarts <= 1:
-            return self.optimize(messages=messages, max_iters=max_iters, tol=tol)
+            return self.optimize(messages=messages, max_iters=max_iters,
+                                 tol=tol, num_restarts=1)
         inits = _perturb_inits(self.params, int(num_restarts), seed=seed)
         res = minimize_restarts_segmented(
             self._objective_name, self.kernel, inits, self._fit_data(),
@@ -263,6 +283,7 @@ class ExactGPModel(_BaseModel, _MeanFunctionMixin):
     """Exact GP regression: native ``GPy.models.GPRegression`` equivalent."""
 
     _objective_name = "exact_nlml"
+    _f32_default_restarts = 5   # fp32 NLML is multimodal; see _BaseModel
 
     def __init__(self, X: np.ndarray, y: np.ndarray, kernel: Kernel,
                  normalizer: bool = True, noise_var: float = 1.0,
@@ -364,6 +385,13 @@ class ExactGPModel(_BaseModel, _MeanFunctionMixin):
         dvar = self.normalizer.unnorm_var(np.asarray(dvar))
         return dmu[:, :, None], dvar
 
+    def _gradient_basis(self):
+        """(kernel, kparams, C, w) with dμ/dx* = ∇ₓ Σᵢ wᵢ k(x, Cᵢ) on the
+        normalized-y scale — the shared basis the data-parallel EDR
+        composition shards over (:mod:`edrgp_tpu.parallel.edr_sharded`)."""
+        return (self.kernel, self.params["kernel"], self._X,
+                self._posterior()[1])
+
     def predict_full_cov(self, Xnew):
         """Posterior mean [M] and full covariance [M, M] (latent)."""
         Xnew = jnp.asarray(Xnew, self._X.dtype)
@@ -389,6 +417,7 @@ class SGPRModel(_BaseModel, _MeanFunctionMixin):
     equivalent (inducing inputs optimized jointly)."""
 
     _objective_name = "neg_sgpr_elbo"
+    _f32_default_restarts = 5   # fp32 ML-II is multimodal; see _BaseModel
 
     def __init__(self, X: np.ndarray, y: np.ndarray, kernel: Kernel,
                  Z: Optional[np.ndarray] = None, num_inducing: int = 10,
@@ -473,6 +502,11 @@ class SGPRModel(_BaseModel, _MeanFunctionMixin):
                 + self._mean_shift_at(Xnew))
         var = self.normalizer.unnorm_var(np.asarray(var))
         return mean[:, None], var[:, None]
+
+    def _gradient_basis(self):
+        """(kernel, kparams, Z, β) — see ``ExactGPModel._gradient_basis``."""
+        return (self.kernel, self.params["kernel"], self.params["Z"],
+                self._posterior()[2])
 
     def predictive_gradients(self, Xnew, batch: int | None = None):
         Xnew = jnp.asarray(Xnew, self._X.dtype)

@@ -28,7 +28,7 @@ from .linalg import cho_solve, logdet_from_chol, safe_cholesky, tri_solve
 __all__ = [
     "nlml", "posterior", "predict", "predict_mean_grad", "predict_var_grad",
     "predict_mean_grad_batched", "predict_var_grad_batched", "map_batched",
-    "grad_batch_size", "weighted_kernel_grad",
+    "grad_batch_size", "weighted_kernel_grad", "grad_rows",
     "predict_full_cov", "posterior_samples_f", "noise_variance",
 ]
 
@@ -150,6 +150,9 @@ def weighted_kernel_grad(kernel: Kernel, kparams, C, w, Xnew):
     return jax.vmap(jax.grad(mean_one))(Xnew)
 
 
+_PALLAS_GRAD_ANNOUNCED = False
+
+
 def _pallas_grad_dispatch(kernel: Kernel, kparams, C, w, Xnew):
     """Fused-Pallas fast path for the weighted RBF kernel gradient, or None.
 
@@ -160,17 +163,54 @@ def _pallas_grad_dispatch(kernel: Kernel, kparams, C, w, Xnew):
     error (in-kernel 3-pass hi/lo bf16 dots).  Dispatch is trace-time:
     small problems and every non-RBF / non-TPU / f64 case keep the
     generic autodiff path.
+
+    Overridable via ``EDRGP_PALLAS_GRAD`` /
+    :func:`edrgp_tpu.config.set_pallas_grad_mode`: ``off`` forces the exact
+    autodiff path everywhere; ``force`` dispatches every structurally
+    eligible call (RBF/f32) regardless of platform and size (interpret
+    mode off-TPU).  The first engagement is logged once.
     """
-    from ..config import on_tpu
+    from ..config import on_tpu, pallas_grad_mode
     from .kernels import RBF
-    if not (on_tpu() and type(kernel) is RBF and kernel.active_dims is None
-            and Xnew.dtype == jnp.float32 and C.dtype == jnp.float32
-            and Xnew.shape[0] * C.shape[0] >= (1 << 22)):
+    mode = pallas_grad_mode()
+    if mode == "off":
         return None
+    eligible = (type(kernel) is RBF and kernel.active_dims is None
+                and Xnew.dtype == jnp.float32 and C.dtype == jnp.float32)
+    if not eligible:
+        return None
+    tpu = on_tpu()
+    if mode == "auto" and not (tpu and Xnew.shape[0] * C.shape[0] >= (1 << 22)):
+        return None
+    global _PALLAS_GRAD_ANNOUNCED
+    if not _PALLAS_GRAD_ANNOUNCED:
+        _PALLAS_GRAD_ANNOUNCED = True
+        import logging
+        logging.getLogger("edrgp_tpu").info(
+            "predictive_gradients: fused-Pallas fast path engaged "
+            "(mode=%s, M=%d, N=%d; ~4e-5 relative vs autodiff; "
+            "set EDRGP_PALLAS_GRAD=off to disable)",
+            mode, Xnew.shape[0], C.shape[0])
     from .pallas.rbf import rbf_grad_mu
     ls = positive(kparams["lengthscale"])
     sigma2 = positive(kparams["variance"])
-    return rbf_grad_mu(Xnew, C, w, ls, sigma2, precision="high")
+    return rbf_grad_mu(Xnew, C, w, ls, sigma2, precision="high",
+                       interpret=not tpu)
+
+
+def grad_rows(kernel: Kernel, kparams, C, w, Xrows, batch: int):
+    """Traceable core of every batched predictive-gradient path:
+    fused-Pallas dispatch when eligible, else ``batch``-row-chunked
+    autodiff.  Shared by :func:`predict_mean_grad_batched`, the
+    SGPR/SVGP counterparts, and the shard-local gradient extraction in
+    :mod:`edrgp_tpu.parallel.edr_sharded` (so the sharded EDR composition
+    and the single-device path are numerically the same program)."""
+    fast = _pallas_grad_dispatch(kernel, kparams, C, w, Xrows)
+    if fast is not None:
+        return fast
+    return map_batched(
+        lambda c: weighted_kernel_grad(kernel, kparams, C, w, c),
+        Xrows, batch)
 
 
 @partial(jax.jit, static_argnums=0)
@@ -192,12 +232,7 @@ def predict_mean_grad_batched(kernel: Kernel, params, X, alpha, Xnew,
     """dμ/dx* in ``batch``-row chunks of test points (see
     :func:`map_batched`); same values as :func:`predict_mean_grad` (up to
     the fused-Pallas fast path's 4e-5 on large TPU-f32 RBF problems)."""
-    kp = params["kernel"]
-    fast = _pallas_grad_dispatch(kernel, kp, X, alpha, Xnew)
-    if fast is not None:
-        return fast
-    return map_batched(
-        lambda c: weighted_kernel_grad(kernel, kp, X, alpha, c), Xnew, batch)
+    return grad_rows(kernel, params["kernel"], X, alpha, Xnew, batch)
 
 
 def _var_grad(kernel: Kernel, kp, X, L, Xnew):

@@ -325,8 +325,15 @@ def sym_square_from_tri_inv(Linv: jnp.ndarray, block: int = 1024,
 
 
 def _split_point(n: int, align: int = 256) -> int:
-    """Half-split rounded to a lane-aligned boundary."""
-    return max(align, ((n // 2) + align - 1) // align * align)
+    """Half-split rounded to a lane-aligned boundary, clamped below n.
+
+    The clamp guarantees both halves are non-empty for ANY n ≥ 2, so the
+    D&C recursions terminate for any public ``leaf`` value (an unclamped
+    ``max(align, ...)`` could return h ≥ n for leaf < 2·align, looping the
+    recursion at constant size until RecursionError; ADVICE r4).
+    """
+    h = max(align, ((n // 2) + align - 1) // align * align)
+    return min(h, n - 1)
 
 
 def tri_inv_dc(L: jnp.ndarray, leaf: int = 1024,

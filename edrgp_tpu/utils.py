@@ -66,9 +66,20 @@ def discrepancy(B: np.ndarray, V: np.ndarray) -> float:
 
     B : (n_features, d) true projector; V : (n_features, k) estimate.
     Zero iff span(B) ⊆ span(V).
+
+    A non-orthonormal V is QR-orthonormalized first (same policy as
+    :func:`subspace_variance_ratio`): the formula reads V Vᵀ as the
+    projector onto span(V), which is only true for orthonormal columns —
+    passing e.g. a normalized EDR's ``components_.T`` (which folds the
+    StandardScaler back into the projector) used to silently report
+    garbage (observed: 1.1552 beside sub-degree principal angles,
+    results/EDR_SCALE_r04.json first capture).
     """
     B = np.asarray(B)
     V = np.asarray(V)
+    gram = V.T @ V
+    if not np.allclose(gram, np.eye(V.shape[1])):
+        V = np.linalg.qr(V)[0]
     n = B.shape[0]
     resid = B @ B.T @ (np.eye(n) - V @ V.T)
     return float(np.linalg.norm(resid)) / B.shape[1]
@@ -92,27 +103,52 @@ class SVDTransformer(BaseEstimator, TransformerMixin):
     def __init__(self, n_components=None):
         self.n_components = n_components
 
+    def _n_keep(self, ratio, n_features: int) -> int:
+        nc = self.n_components
+        if nc is None:
+            return n_features
+        if isinstance(nc, (int, np.integer)):
+            if not 0 < nc <= n_features:
+                raise ValueError(
+                    f"n_components={nc} out of range for {n_features} features")
+            return int(nc)
+        if isinstance(nc, float) and 0.0 < nc < 1.0:
+            return int(np.searchsorted(np.cumsum(ratio), nc) + 1)
+        raise ValueError(f"invalid n_components: {nc!r}")
+
     def fit(self, X, y=None):
         X = check_array(X, copy=False)
         _, S, Vh = np.linalg.svd(X, full_matrices=False)
         energy = S ** 2
         ratio = energy / energy.sum()
-
-        nc = self.n_components
-        if nc is None:
-            n_keep = X.shape[1]
-        elif isinstance(nc, (int, np.integer)):
-            if not 0 < nc <= X.shape[1]:
-                raise ValueError(
-                    f"n_components={nc} out of range for {X.shape[1]} features")
-            n_keep = int(nc)
-        elif isinstance(nc, float) and 0.0 < nc < 1.0:
-            n_keep = int(np.searchsorted(np.cumsum(ratio), nc) + 1)
-        else:
-            raise ValueError(f"invalid n_components: {nc!r}")
-        n_keep = min(X.shape[0], n_keep, len(S))
+        n_keep = min(X.shape[0], self._n_keep(ratio, X.shape[1]), len(S))
 
         self.components_ = Vh[:n_keep, :]
+        self.subspace_variance_ = energy[:n_keep]
+        self.subspace_variance_ratio_ = ratio[:n_keep]
+        return self
+
+    def fit_gram(self, gram, n_rows=None):
+        """Fit from the [Q, Q] Gram matrix XᵀX instead of X itself.
+
+        Identical subspace to ``fit(X)`` — the right-singular vectors of X
+        are the eigenvectors of XᵀX and the squared singular values its
+        eigenvalues (component SIGNS are basis-convention arbitrary either
+        way).  This is the reduction the distributed EDR path feeds: the
+        Gram is psum-accumulated across shards so the [N, Q] gradient
+        matrix never needs to reach one device
+        (:mod:`edrgp_tpu.parallel.edr_sharded`).
+        """
+        gram = np.asarray(check_array(gram, copy=False))
+        w, V = np.linalg.eigh(gram)
+        energy = np.maximum(w[::-1], 0.0)           # descending, clipped
+        V = V[:, ::-1]
+        ratio = energy / energy.sum()
+        n_keep = min(self._n_keep(ratio, gram.shape[0]), gram.shape[0])
+        if n_rows is not None:
+            n_keep = min(n_keep, int(n_rows))
+
+        self.components_ = V[:, :n_keep].T
         self.subspace_variance_ = energy[:n_keep]
         self.subspace_variance_ratio_ = ratio[:n_keep]
         return self

