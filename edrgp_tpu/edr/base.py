@@ -95,7 +95,7 @@ class BaseEDR(BaseEstimator, TransformerMixin):
             self._first_gradients_ = grad
 
         self.transformer_ = clone(self.transformer)
-        self.transformer_.fit(grad)
+        self._fit_dr(self.transformer_, grad)
         self._check_transformer(self.transformer_)
         comps = deepcopy(self.transformer_.components_)[:self.n_components_, :]
         # Compose with the projector accumulated so far: new axes are
@@ -146,6 +146,13 @@ class BaseEDR(BaseEstimator, TransformerMixin):
                 "contain only zeros".format(dead.tolist()), RuntimeWarning)
             components = np.delete(components, dead, axis=0)
         return components
+
+    def _fit_dr(self, transformer, grad):
+        """Hook: fit the cloned DR transformer on the gradient matrix.
+        ``EffectiveDimensionalityReduction`` overrides this to feed a
+        distributed Gram instead when one was accumulated."""
+        transformer.fit(grad)
+        return transformer
 
     # ------------------------------------------------------------ gradients
     def get_estimator_gradients(self, X):
@@ -241,7 +248,7 @@ class IterativeEDR(BaseEDR):
             self._first_gradients_ = grad
 
         self.transformer_ = clone(self.transformer)
-        self.transformer_.fit(grad)
+        self._fit_dr(self.transformer_, grad)
         self._check_transformer(self.transformer_)
         comps = deepcopy(self.transformer_.components_)
 

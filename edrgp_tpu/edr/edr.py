@@ -42,13 +42,22 @@ class EffectiveDimensionalityReduction(_BlockFitMixin, IterativeEDR):
         the reference's intended-but-unshipped behavior: its
         ``test_block_preprocessing`` (``tests/test_edr.py:200-222``) drives
         exactly this surface while its EDR ctor never took ``blocks``.
+    gradient_mesh : optional ``jax.sharding.Mesh`` — run the composed
+        loop's gradient-extraction stage data-parallel over the mesh's
+        first axis and feed the DR transformer the psum-accumulated
+        [Q, Q] Gram instead of the host-side [N, Q] SVD (the multi-chip
+        EDR path, :mod:`edrgp_tpu.parallel.edr_sharded`).  Estimators
+        whose fitted model has no sharded gradient basis fall back to the
+        single-device path transparently.
     """
 
     def __init__(self, estimator=None, dr_transformer=None, n_components=None,
-                 step=None, normalize=True, preprocessor=None, blocks=None):
+                 step=None, normalize=True, preprocessor=None, blocks=None,
+                 gradient_mesh=None):
         self.normalize = normalize
         self.preprocessor = preprocessor
         self.blocks = blocks
+        self.gradient_mesh = gradient_mesh
         super().__init__(estimator, dr_transformer, n_components, step)
 
     @property
@@ -102,13 +111,13 @@ class EffectiveDimensionalityReduction(_BlockFitMixin, IterativeEDR):
         return self.transformer_
 
     def _get_param_names(self):  # pragma: no cover - sklearn plumbing
-        return ["blocks", "dr_transformer", "estimator", "n_components",
-                "normalize", "preprocessor", "step"]
+        return ["blocks", "dr_transformer", "estimator", "gradient_mesh",
+                "n_components", "normalize", "preprocessor", "step"]
 
     @classmethod
     def _get_param_names_cls(cls):
-        return ["blocks", "dr_transformer", "estimator", "n_components",
-                "normalize", "preprocessor", "step"]
+        return ["blocks", "dr_transformer", "estimator", "gradient_mesh",
+                "n_components", "normalize", "preprocessor", "step"]
 
     def get_params(self, deep=True):
         return {
@@ -119,6 +128,7 @@ class EffectiveDimensionalityReduction(_BlockFitMixin, IterativeEDR):
             "normalize": self.normalize,
             "preprocessor": self.preprocessor,
             "blocks": self.blocks,
+            "gradient_mesh": self.gradient_mesh,
         }
 
     # ------------------------------------------------------------------ fit
@@ -179,18 +189,51 @@ class EffectiveDimensionalityReduction(_BlockFitMixin, IterativeEDR):
         estimator's input space; the first-iteration gradients are mapped
         through the preprocessor so the cached ``_first_gradients_`` are in
         the normalized-feature space (reference ``edr.py:215-241``).
+
+        With ``gradient_mesh`` set, fit-time extraction runs the
+        data-parallel sharded path and the psum-accumulated Gram is staged
+        for the DR transformer (see :meth:`_fit_dr`) — mapped through the
+        preprocessor alongside the gradients (grad' = G·P ⇒
+        gram' = Pᵀ·gram·P).
         """
         if preprocessing_transform:
             X = self._preprocessing_transform(X)
         check_is_fitted(self, "estimator_")
-        grad = self.estimator_.predict_gradient(X)
+        gram = None
+        if (self.gradient_mesh is not None and not preprocessing_transform
+                and getattr(self.estimator_, "supports_sharded_gradients",
+                            lambda: False)()):
+            grad, gram = self.estimator_.predict_gradient_sharded(
+                X, self.gradient_mesh)
+        else:
+            grad = self.estimator_.predict_gradient(X)
         if (self.preprocessor is not None and self.num_iter == 0
                 and not preprocessing_transform):
             check_is_fitted(self, "preprocessor_")
             grad = grad @ self._preprocessing_
+            if gram is not None:
+                gram = self._preprocessing_.T @ gram @ self._preprocessing_
         if preprocessing_transform:
             grad = grad @ self.components_
+        if gram is not None:
+            self._pending_gram_ = gram
+            self._pending_gram_key_ = grad
         return grad
+
+    def _fit_dr(self, transformer, grad):
+        """Feed the distributed Gram to Gram-capable transformers: when the
+        gradient matrix being fitted is exactly the one the sharded path
+        just extracted, ``fit_gram`` consumes the [Q, Q] psum result
+        (identical subspace to ``fit(grad)``; host never needs the [N, Q]
+        SVD).  Any other transformer or gradient matrix falls back to the
+        plain ``fit``."""
+        gram = getattr(self, "_pending_gram_", None)
+        if (gram is not None
+                and grad is getattr(self, "_pending_gram_key_", None)
+                and hasattr(transformer, "fit_gram")):
+            transformer.fit_gram(gram, n_rows=grad.shape[0])
+            return transformer
+        return super()._fit_dr(transformer, grad)
 
     @property
     def feature_importances_(self):

@@ -92,6 +92,22 @@ class _BaseGP(BaseEstimator, metaclass=ABCMeta):
         X = self._check_predict(X)
         return self.estimator_.predictive_gradients(X)[0][:, :, 0]
 
+    def supports_sharded_gradients(self) -> bool:
+        """True when the fitted model can run the data-parallel gradient
+        extraction (:mod:`edrgp_tpu.parallel.edr_sharded`)."""
+        from ..parallel.edr_sharded import supports_sharded_gradients
+        return (hasattr(self, "estimator_")
+                and supports_sharded_gradients(self.estimator_))
+
+    def predict_gradient_sharded(self, X, mesh, axis="data", chunk=None):
+        """Predictive gradients with rows sharded over ``mesh`` PLUS the
+        psum-accumulated Gram: ``(grad [N, Q], gram [Q, Q])`` with
+        ``gram == grad.T @ grad`` — the multi-chip EDR extraction path."""
+        X = self._check_predict(X)
+        from ..parallel.edr_sharded import model_gradient_gram
+        return model_gradient_gram(self.estimator_, X, mesh, axis=axis,
+                                   chunk=chunk)
+
     def save(self, model_path):
         if not model_path.endswith(".pickle"):
             model_path += ".pickle"

@@ -230,6 +230,13 @@ class SVGPModel(_BaseModel):
         var = self.normalizer.unnorm_var(np.asarray(var))
         return mean[:, None], var[:, None]
 
+    def _gradient_basis(self):
+        """(kernel, kparams, Z, β=Kuu⁻¹m) — see
+        ``ExactGPModel._gradient_basis``."""
+        m, _ = self._mS()
+        beta = _svgp._mean_grad_beta(self.kernel, self.params, m)
+        return (self.kernel, self.params["kernel"], self.params["Z"], beta)
+
     def predictive_gradients(self, Xnew, batch: int | None = None):
         Xnew = jnp.asarray(Xnew, self._X.dtype)
         m, _ = self._mS()

@@ -122,10 +122,6 @@ def predict_mean_grad(kernel: Kernel, params, beta, Xnew):
 def predict_mean_grad_batched(kernel: Kernel, params, beta, Xnew,
                               batch: int = 8192):
     """dμ/dx* in ``batch``-row chunks (scales to M in the millions)."""
-    from .exact import _pallas_grad_dispatch, map_batched, weighted_kernel_grad
-    kp, Z = params["kernel"], params["Z"]
-    fast = _pallas_grad_dispatch(kernel, kp, Z, beta, Xnew)
-    if fast is not None:
-        return fast
-    return map_batched(lambda c: weighted_kernel_grad(kernel, kp, Z, beta, c),
-                       Xnew, batch)
+    from .exact import grad_rows
+    return grad_rows(kernel, params["kernel"], params["Z"], beta, Xnew,
+                     batch)

@@ -178,12 +178,6 @@ def svgp_predict_mean_grad_batched(kernel: Kernel, params, m, Xnew,
                                    batch: int = 8192):
     """dμ/dx* in ``batch``-row chunks — the EDR-at-scale extraction path
     (M can be the full training set; β is computed once, outside the map)."""
-    from .exact import (_pallas_grad_dispatch, map_batched,
-                        weighted_kernel_grad)
+    from .exact import grad_rows
     beta = _mean_grad_beta(kernel, params, m)
-    kp, Z = params["kernel"], params["Z"]
-    fast = _pallas_grad_dispatch(kernel, kp, Z, beta, Xnew)
-    if fast is not None:
-        return fast
-    return map_batched(lambda c: weighted_kernel_grad(kernel, kp, Z, beta, c),
-                       Xnew, batch)
+    return grad_rows(kernel, params["kernel"], params["Z"], beta, Xnew, batch)
