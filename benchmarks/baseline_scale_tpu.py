@@ -72,11 +72,21 @@ def run_svgp_1m(n=1_000_000, q=8, m=512, steps=1500, batch=4096,
     del X, y
     ds = MMapDataset(path)
 
-    model = SVGPModel.from_dataset(ds, RBF(q, ARD=True), num_inducing=m)
-    t0 = time.time()
-    model.optimize_stream(ds.batches(batch_size=batch, seed=1),
-                          n_total=ds.n_rows, steps=steps, lr=5e-3)
-    fit_s = time.time() - t0
+    # r5: fit TWICE (fresh model each run) — the scan-chunked
+    # optimize_stream (default scan_chunk=16) divides the tunnel-RPC
+    # exposure by 16; two runs measure whether the r4 wall swings
+    # (60.8 → 351 s on weather) actually collapse (VERDICT r4 next #2).
+    fit_walls = []
+    model = None
+    for run_idx in range(2):
+        model = SVGPModel.from_dataset(ds, RBF(q, ARD=True), num_inducing=m)
+        t0 = time.time()
+        model.optimize_stream(ds.batches(batch_size=batch, seed=1),
+                              n_total=ds.n_rows, steps=steps, lr=5e-3)
+        fit_walls.append(time.time() - t0)
+        print(json.dumps({"progress": "stream_fit", "run": run_idx,
+                          "wall_s": round(fit_walls[-1], 1)}), flush=True)
+    fit_s = fit_walls[-1]
 
     idx = np.sort(rng.integers(0, n, 4000))
     Xt, _ = ds.read_rows(idx)
@@ -93,6 +103,10 @@ def run_svgp_1m(n=1_000_000, q=8, m=512, steps=1500, batch=4096,
         "workload": name, "n": n, "q": q, "num_inducing": m,
         "steps": steps, "batch": batch, "native_loader": native_available(),
         "fit_wall_s": round(fit_s, 1),
+        "fit_wall_s_runs": [round(w, 1) for w in fit_walls],
+        "fit_spread_pct": round(100.0 * (max(fit_walls) - min(fit_walls))
+                                / min(fit_walls), 1),
+        "scan_chunk": 16,
         "rows_per_s_through_elbo": round(steps * batch / fit_s, 0),
         "loader_rows_per_s": round(loader_rows_s, 0),
         "rmse_vs_truth": round(rmse, 4), "noise_std_truth": 0.1,
@@ -183,6 +197,7 @@ def run_smc_hyper(model, ds, n_total, n_particles=1024, n_sub=16384,
     wall = time.time() - t0
 
     post_mean = np.asarray(parts).mean(0)
+    post_std = np.asarray(parts).std(0)
     print(json.dumps({
         "workload": "smc_hyperposterior_tpu", "n_total": int(n_total),
         "n_sub": n_sub, "particles": n_particles,
@@ -191,11 +206,59 @@ def run_smc_hyper(model, ds, n_total, n_particles=1024, n_sub=16384,
         "log_evidence": round(info["log_evidence"], 2),
         "beta_ladder": [round(b, 4) for b in info["beta_trace"]],
         "min_stage_ess": round(min(info["ess_trace"]), 1),
+        "stage_logw_std": [round(s, 3) for s in info["logw_std_trace"]],
+        "stage_loglik_std": [round(s, 3) for s in info["loglik_std_trace"]],
+        "unique_particles_after_resample":
+            info["unique_particles_after_resample"],
         "wall_s": round(wall, 1),
         "particle_stages_per_s": round(
             n_particles * info["n_stages"] / wall, 1),
         "posterior_mean_theta": post_mean.round(4).tolist(),
+        "posterior_std_theta": post_std.round(4).tolist(),
         "theta_hat_from_fit": np.asarray(flat_hat).round(4).tolist(),
+    }), flush=True)
+
+    # --- independent cross-check: segmented NUTS on the IDENTICAL target
+    # (same fixed 16,384-row subsampled SVGP-bound data term, same prior)
+    # — settles whether the on-chip SMC posterior is the posterior
+    # (VERDICT r4 missing #3 / next #4).
+    from edrgp_tpu.inference.hmc import curvature_inv_mass
+    from edrgp_tpu.inference.nuts import run_nuts_segmented
+
+    def logpost(q):
+        return loglik(q) + logprior(q)
+
+    C, warm, samp = 8, 128, 128
+    q0 = (jnp.tile(flat_hat[None], (C, 1))
+          + 0.1 * jax.random.normal(jax.random.PRNGKey(11), (C, D),
+                                    jnp.float32))
+    inv_mass0 = jax.jit(lambda qf: curvature_inv_mass(logpost, qf))(flat_hat)
+    t0 = time.time()
+    qs, ninfo = run_nuts_segmented(
+        logpost, q0, jax.random.PRNGKey(12), num_warmup=warm,
+        num_samples=samp, max_depth=8, segment_len=4, pool_eps=True,
+        inv_mass0=np.asarray(inv_mass0))
+    nuts_wall = time.time() - t0
+    flat_samples = qs.reshape(-1, D)
+    nuts_mean = flat_samples.mean(0)
+    nuts_std = flat_samples.std(0)
+    from edrgp_tpu.metrics import effective_sample_size, \
+        potential_scale_reduction
+    rhat = potential_scale_reduction(qs)
+    z = (post_mean - nuts_mean) / np.maximum(nuts_std, 1e-12)
+    print(json.dumps({
+        "workload": "smc_vs_nuts_crosscheck", "dim": int(D),
+        "chains": C, "warmup": warm, "samples": samp,
+        "nuts_wall_s": round(nuts_wall, 1),
+        "nuts_max_split_rhat": round(float(np.max(rhat)), 4),
+        "nuts_min_ess": round(float(np.min(effective_sample_size(qs))), 1),
+        "nuts_divergences": int(ninfo["divergences"]),
+        "nuts_mean_theta": nuts_mean.round(4).tolist(),
+        "nuts_std_theta": nuts_std.round(4).tolist(),
+        "smc_minus_nuts_mean_in_nuts_sigmas": z.round(3).tolist(),
+        "max_abs_z": round(float(np.abs(z).max()), 3),
+        "smc_over_nuts_std_ratio": (post_std / np.maximum(
+            nuts_std, 1e-12)).round(3).tolist(),
     }), flush=True)
 
 

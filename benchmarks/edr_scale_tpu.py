@@ -58,7 +58,13 @@ N = 1_048_576
 Q = 10
 D_TRUE = 3
 M_INDUCING = 512
-OUT = os.path.join(_REPO, "results", "EDR_SCALE_r04.json")
+#: r5: stream-fit runs TWICE (fresh model + loader each) to measure the
+#: wall-clock spread of the scan-chunked ``optimize_stream`` (default
+#: scan_chunk=16) — the RPC-armor fix landed after the r4 captures and was
+#: unproven at scale (VERDICT r4 missing #2 / next #2; r4 walls swung
+#: 162→792 s on tunnel weather).
+FIT_RUNS = 2
+OUT = os.path.join(_REPO, "results", "EDR_SCALE_r05.json")
 
 
 def principal_angles_deg(A, B):
@@ -127,17 +133,28 @@ def run_tpu():
         phase="generate_and_write", wall_s=round(time.perf_counter() - t0, 2),
         file_mb=round(os.path.getsize(path) / 1e6, 1))
 
-    # ---- stage 1: SVGP fit streamed through the native loader ----------
+    # ---- stage 1: SVGP fit streamed through the native loader, twice ----
     ds = MMapDataset(path)
     native = ds._handle is not None
-    t0 = time.perf_counter()
-    model = SVGPModel.from_dataset(ds, RBF(Q, ARD=True),
-                                   num_inducing=M_INDUCING, seed=0)
-    batches = ds.batches(4096, seed=1)
-    model.optimize_stream(batches, n_total=N, steps=2000, lr=5e-3)
-    fit_s = time.perf_counter() - t0
+    fit_walls = []
+    model = None
+    for run_idx in range(FIT_RUNS):
+        t0 = time.perf_counter()
+        model = SVGPModel.from_dataset(ds, RBF(Q, ARD=True),
+                                       num_inducing=M_INDUCING, seed=0)
+        batches = ds.batches(4096, seed=1)
+        model.optimize_stream(batches, n_total=N, steps=2000, lr=5e-3)
+        fit_walls.append(time.perf_counter() - t0)
+        emit(phase="svgp_stream_fit", run=run_idx,
+             wall_s=round(fit_walls[-1], 2),
+             final_minibatch_elbo=round(float(-model._objective), 2))
+    fit_s = fit_walls[-1]
     res["phases"]["svgp_stream_fit"] = emit(
-        phase="svgp_stream_fit", wall_s=round(fit_s, 2),
+        phase="svgp_stream_fit_summary",
+        wall_s_runs=[round(w, 2) for w in fit_walls],
+        spread_pct=round(100.0 * (max(fit_walls) - min(fit_walls))
+                         / min(fit_walls), 1),
+        wall_s=round(fit_s, 2), scan_chunk=16,
         steps=2000, batch_size=4096, native_loader=native,
         final_minibatch_elbo=round(float(-model._objective), 2))
 
@@ -180,21 +197,23 @@ def run_tpu():
     edr.fit(X, y, max_iters=1500)
     edr_s = time.perf_counter() - t0
     comps_edr = np.asarray(edr.components_.T)      # [Q, d]
-    # discrepancy assumes an orthonormal V; the user-facing class folds the
-    # StandardScaler back into components_ (a pure linear map on raw
-    # features), so orthonormalize the column space first — principal
-    # angles already do.
-    comps_edr_on = np.linalg.qr(comps_edr)[0]
+    # r5: discrepancy() now QR-orthonormalizes non-orthonormal V inside the
+    # library (the class folds the StandardScaler into components_), so the
+    # natural call is safe — the r4 1.1552-class trap is closed.
     angles_edr = principal_angles_deg(B, comps_edr)
     res["edr_class_pipeline"] = emit(
         stage="edr_class_pipeline",
         wall_s=round(edr_s, 2),
-        discrepancy_vs_truth=round(float(discrepancy(B, comps_edr_on)), 4),
+        discrepancy_vs_truth=round(float(discrepancy(B, comps_edr)), 4),
         principal_angles_deg=[round(float(a), 3) for a in angles_edr],
         subspace_variance_ratio=[round(float(r), 5)
                                  for r in edr.subspace_variance_ratio_])
 
     # ---- stage 5: BriefIntro 10-D in TPU fp32 ---------------------------
+    # r5: the DEFAULT fit now runs 5 vmapped perturbed inits in float32
+    # (models/state.py _f32_default_restarts — VERDICT r4 next #5), so this
+    # stage IS the "5/5 seeds without manual intervention" evidence; the
+    # explicit restarts5 stage below should now match it.
     t0 = time.perf_counter()
     res["brief_intro_tpu_fp32"] = brief_intro_components()
     emit(stage="brief_intro_tpu_fp32",

