@@ -238,10 +238,16 @@ def run_tpu():
 
 
 def run_cpu_compare():
+    # f64 side runs the SAME 5-restart policy the fp32 default now uses
+    # (r5): comparing fp32-restarts against an f64 SINGLE start conflates
+    # dtype with optimizer luck — the first r5 capture showed exactly
+    # that (f64 single-start NLML 181.32/147.73 vs fp32-restarts
+    # 181.06/147.08 on seeds 0-1, i.e. the f64 side lost the basin).
     with open(OUT) as f:
         res = json.load(f)
     tpu_rows = res["brief_intro_tpu_fp32"]
-    cpu_rows = brief_intro_components([r["seed"] for r in tpu_rows])
+    cpu_rows = brief_intro_components([r["seed"] for r in tpu_rows],
+                                      num_restarts=5)
     agree = []
     for rt, rc in zip(tpu_rows, cpu_rows):
         ct = np.asarray(rt["components_top2"])
