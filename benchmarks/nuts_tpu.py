@@ -218,9 +218,17 @@ def main():
     ap.add_argument("--samples", type=int, default=128)
     ap.add_argument("--max-depth", type=int, default=8)
     ap.add_argument("--segment", type=int, default=8)
-    ap.add_argument("--chain-chunk", type=int, default=128,
-                    help="max chains vmapped per program (memory knob; 256 "
-                    "unchunked crashed the TPU worker in the first r4 run)")
+    ap.add_argument("--chain-chunk", type=int, default=16,
+                    help="max chains vmapped per program.  16 is the "
+                    "measured throughput optimum on this target/chip "
+                    "(r5, results/NUTS_INVERSION_r05.json): wider vmap "
+                    "groups scale SUPER-linearly in cost (64-wide "
+                    "batched value+grad costs 4.6x the 16-wide) and pay "
+                    "more deepest-tree synchronization (E[max leaves] "
+                    "+37% at 64), inverting throughput 126 -> 90 "
+                    "samples/s; sequential 16-wide groups recover it. "
+                    "Also the memory/worker-stability knob (>=128-chain "
+                    "programs crash the TPU worker).")
     ap.add_argument("--sweep", action="store_true",
                     help="BASELINE config-4 ladder: 16/64/256/1024 chains")
     ap.add_argument("--ladder", type=int, nargs="*", default=None,
