@@ -126,18 +126,32 @@ def run_svgp_10m_smc(n=10_000_000, q=8, m=512, steps=3000, batch=8192):
 
 
 def run_smc_hyper(model, ds, n_total, n_particles=1024, n_sub=16384,
-                  particle_chunk=32):
+                  particle_chunk=32, n_eff=None):
     """SMC over GP hyperparameters with the SVGP-bound likelihood on-chip.
 
     Target: p(θ) ∝ exp(L(θ)) · prior, where L is the SVGP evidence bound
     at the streamed fit's variational posterior q(u), with the data term
     evaluated on a FIXED random subsample of ``n_sub`` rows scaled to
-    ``n_total`` (deterministic given the subsample — SMC weights need a
+    ``n_eff`` (deterministic given the subsample — SMC weights need a
     deterministic likelihood; the full-N data term neither fits one
     program nor decomposes for Titsias).  Particles are vmapped on-chip in
     groups of ``particle_chunk`` (each bound eval holds an [n_sub, m]
-    cross-kernel).  Records the β-ladder, per-stage ESS, logZ and
-    particles/s — the config-5 SMC evidence.
+    cross-kernel).  Records the β-ladder, per-stage ESS + ensemble
+    diagnostics, logZ and particles/s — the config-5 SMC evidence — and
+    cross-checks the posterior against segmented NUTS on the IDENTICAL
+    target.
+
+    ``n_eff`` (r5): the effective data count the subsampled bound is
+    scaled to.  Default ``n_sub`` — the honest posterior given the rows
+    the likelihood actually evaluates.  Scaling a 16,384-row term ×610 to
+    n_total=10⁷ (the r4 configuration) concentrates the posterior BELOW
+    float32's resolution of the log-density (|logpost| ≈ 4.4e6 ⇒ f32
+    representation noise ≈ 0.26, the same order as the 1σ log-variation)
+    — on that target every sampler freezes: the r4 SMC collapsed to one
+    particle, and an 8-chain NUTS run pinned each chain at its start
+    (R̂ ≈ 7e4, results/svgp10m_smc_r5.log first capture).  That boundary
+    is a property of fp32 at N=10⁷, not of the samplers; it is recorded
+    in BENCH_NOTES.
     """
     import jax
     import jax.numpy as jnp
@@ -161,13 +175,13 @@ def run_smc_hyper(model, ds, n_total, n_particles=1024, n_sub=16384,
     flat_hat, unravel = ravel_pytree(theta0)
     D = flat_hat.shape[0]
     prior_scale = 3.0
+    n_eff = float(n_sub if n_eff is None else n_eff)
 
     def loglik(theta_flat):
         th = unravel(theta_flat)
         params = {"kernel": th["kernel"], "raw_noise": th["raw_noise"],
                   "Z": Z}
-        return _svgp.svgp_elbo(kernel, params, mvec, Svar, Xs, ys,
-                               float(n_total))
+        return _svgp.svgp_elbo(kernel, params, mvec, Svar, Xs, ys, n_eff)
 
     def logprior(theta_flat):
         return -0.5 * jnp.sum((theta_flat / prior_scale) ** 2)
@@ -190,17 +204,21 @@ def run_smc_hyper(model, ds, n_total, n_particles=1024, n_sub=16384,
                           "stage_s": round(dt_s, 2)}), flush=True)
 
     t0 = time.time()
+    # max_stages 60 (r5): with WORKING rejuvenation the ESS-bisected
+    # ladder is geometric in β (Δβ/β ≈ const once the tempered posterior
+    # is Gaussian-ish) — the r4 "22-stage convergence" was an artifact of
+    # a frozen kernel degenerating the ensemble (see run_smc_segmented).
     parts, info = run_smc_segmented(
         loglik, logprior, parts0, jax.random.PRNGKey(3), num_mcmc=3,
         n_leapfrog=10, eps=0.02, particle_chunk=particle_chunk,
-        max_stages=40, on_stage=on_stage)
+        max_stages=60, on_stage=on_stage)
     wall = time.time() - t0
 
     post_mean = np.asarray(parts).mean(0)
     post_std = np.asarray(parts).std(0)
     print(json.dumps({
         "workload": "smc_hyperposterior_tpu", "n_total": int(n_total),
-        "n_sub": n_sub, "particles": n_particles,
+        "n_sub": n_sub, "n_eff": n_eff, "particles": n_particles,
         "particle_chunk": particle_chunk, "dim": int(D),
         "converged": info["converged"], "n_stages": info["n_stages"],
         "log_evidence": round(info["log_evidence"], 2),
@@ -210,6 +228,8 @@ def run_smc_hyper(model, ds, n_total, n_particles=1024, n_sub=16384,
         "stage_loglik_std": [round(s, 3) for s in info["loglik_std_trace"]],
         "unique_particles_after_resample":
             info["unique_particles_after_resample"],
+        "eps_trace": [round(e, 6) for e in info.get("eps_trace", [])],
+        "accept_trace": [round(a, 3) for a in info.get("accept_trace", [])],
         "wall_s": round(wall, 1),
         "particle_stages_per_s": round(
             n_particles * info["n_stages"] / wall, 1),
@@ -253,6 +273,10 @@ def run_smc_hyper(model, ds, n_total, n_particles=1024, n_sub=16384,
         "nuts_max_split_rhat": round(float(np.max(rhat)), 4),
         "nuts_min_ess": round(float(np.min(effective_sample_size(qs))), 1),
         "nuts_divergences": int(ninfo["divergences"]),
+        "nuts_accept": round(float(ninfo["accept_rate"]), 3),
+        "nuts_mean_leapfrogs": round(float(ninfo["mean_leapfrogs"]), 1),
+        "nuts_step_size": round(float(
+            np.asarray(ninfo["step_size"]).ravel()[0]), 6),
         "nuts_mean_theta": nuts_mean.round(4).tolist(),
         "nuts_std_theta": nuts_std.round(4).tolist(),
         "smc_minus_nuts_mean_in_nuts_sigmas": z.round(3).tolist(),

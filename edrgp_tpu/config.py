@@ -264,3 +264,32 @@ def set_pallas_grad_mode(mode: str | None):
     if mode is not None and mode not in ("auto", "off", "force"):
         raise ValueError(f"mode must be auto|off|force, got {mode!r}")
     _PALLAS_GRAD_MODE = mode
+
+
+#: Dispatch policy for the fused NLML kernel-parameter adjoint
+#: (:func:`edrgp_tpu.ops.exact._rbf_ky_fused` — the last unswept term of
+#: the headline value+grad anatomy, BENCH_NOTES r4 "adjoint floor").
+#: Same tri-state semantics as ``EDRGP_PALLAS_GRAD``: ``auto`` engages on
+#: TPU float32 plain-RBF NLML at N ≥ 2048; ``off`` keeps the XLA autodiff
+#: contraction; ``force`` engages everywhere (interpret mode off-TPU).
+_PALLAS_NLML_MODE = None
+
+
+def pallas_nlml_mode() -> str:
+    """Resolved fused NLML-adjoint dispatch mode: 'auto' | 'off' | 'force'."""
+    global _PALLAS_NLML_MODE
+    if _PALLAS_NLML_MODE is None:
+        import os
+        mode = os.environ.get("EDRGP_PALLAS_NLML", "auto").lower()
+        if mode not in ("auto", "off", "force"):
+            raise ValueError(
+                f"EDRGP_PALLAS_NLML must be auto|off|force, got {mode!r}")
+        _PALLAS_NLML_MODE = mode
+    return _PALLAS_NLML_MODE
+
+
+def set_pallas_nlml_mode(mode: str | None):
+    global _PALLAS_NLML_MODE
+    if mode is not None and mode not in ("auto", "off", "force"):
+        raise ValueError(f"mode must be auto|off|force, got {mode!r}")
+    _PALLAS_NLML_MODE = mode

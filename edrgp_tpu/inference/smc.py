@@ -160,6 +160,16 @@ def run_smc_segmented(loglik_fn: Callable, logprior_fn: Callable,
     Returns (particles [N, D], info) with ``beta_trace`` / ``ess_trace``
     as Python lists of the stages actually run.
 
+    The rejuvenation kernel ADAPTS between stages (r5): the HMC mass is
+    the resampled ensemble's per-dimension variance (the current
+    posterior-scale estimate) and ε is driven toward ~0.6 mean trajectory
+    acceptance by a clipped multiplicative update.  ``eps`` seeds the
+    first stage only.  Without this, a fixed-scale kernel freezes once
+    β·curvature outgrows it: duplicates from resampling never re-diversify
+    and ESS degenerates into a copy-counter while "rising" — the failure
+    mode the r4 config-5 run hid and the
+    ``unique_particles_after_resample`` trace now exposes.
+
     Grouping is HOST-LEVEL: each likelihood/rejuvenation dispatch vmaps
     only ``particle_chunk`` particles (in-program ``lax.map`` grouping of
     heavy vmapped bodies reliably faults this host's TPU worker — the
@@ -198,7 +208,7 @@ def run_smc_segmented(loglik_fn: Callable, logprior_fn: Callable,
                 jnp.std(loglik))
 
     @jax.jit
-    def rejuv_group(parts_g, new_beta, keys_g):
+    def rejuv_group(parts_g, new_beta, keys_g, eps_s, inv_mass):
         def temp_logprob(q):
             return new_beta * loglik_fn(q) + logprior_fn(q)
 
@@ -207,19 +217,22 @@ def run_smc_segmented(loglik_fn: Callable, logprior_fn: Callable,
                           grad=jax.grad(temp_logprob)(q))
 
             def sweep(st, k):
-                st, _ = hmc_step(temp_logprob, st, k, eps, jnp.ones(D, dt),
-                                 n_leapfrog)
-                return st, None
+                st, info = hmc_step(temp_logprob, st, k, eps_s, inv_mass,
+                                    n_leapfrog)
+                return st, info["accept_stat"]
 
-            st, _ = lax.scan(sweep, st, keys)
-            return st.q
+            st, accs = lax.scan(sweep, st, keys)
+            return st.q, jnp.mean(accs)
 
-        return jax.vmap(one_particle)(parts_g, keys_g)
+        qs, accs = jax.vmap(one_particle)(parts_g, keys_g)
+        return qs, jnp.mean(accs)
 
     particles = particles0
     beta = jnp.zeros((), dt)
     logZ = jnp.zeros((), dt)
     betas, esss, logw_stds, loglik_stds, uniques = [], [], [], [], []
+    eps_trace, acc_trace = [], []
+    eps_s = float(eps)
     key = jnp.asarray(key)
     for stage_idx in range(max_stages):
         key, k_res, k_mcmc = jax.random.split(key, 3)
@@ -229,28 +242,49 @@ def run_smc_segmented(loglik_fn: Callable, logprior_fn: Callable,
             loglik, particles, beta, logZ, k_res)
         uniques.append(int(np.unique(
             np.asarray(particles), axis=0).shape[0]))
+        # Ensemble-variance preconditioning (standard adaptive-SMC move
+        # scaling): the resampled ensemble's per-dimension variance is the
+        # current best posterior-scale estimate — as β climbs and the
+        # target tightens, the rejuvenation kernel tightens with it.
+        # Without this (and the ε adaptation below) the fixed-ε HMC
+        # freezes once β·curvature ≫ ε-scale, duplicates accumulate
+        # unbroken, and ESS silently turns into a copy-counter — the r4
+        # config-5 "converged" ladder collapsed to ONE unique particle
+        # exactly this way (results/svgp10m_smc_r5.log first capture).
+        inv_mass = jnp.maximum(jnp.var(particles, axis=0),
+                               jnp.asarray(1e-12, dt))
         mkeys = jax.random.split(k_mcmc, N * num_mcmc).reshape(
             N, num_mcmc, 2)
-        parts_out = []
+        parts_out, accs = [], []
         for g in range(G):
             sl = slice(g * chunk, (g + 1) * chunk)
-            parts_out.append(np.asarray(
-                rejuv_group(particles[sl], new_beta, mkeys[sl])))
+            qs_g, acc_g = rejuv_group(particles[sl], new_beta, mkeys[sl],
+                                      jnp.asarray(eps_s, dt), inv_mass)
+            parts_out.append(np.asarray(qs_g))
+            accs.append(float(acc_g))
         particles = jnp.asarray(np.concatenate(parts_out))
+        acc = float(np.mean(accs))
         beta = new_beta
         betas.append(float(beta))
         esss.append(float(ess_val))
         logw_stds.append(float(logw_std))
         loglik_stds.append(float(loglik_std))
+        eps_trace.append(eps_s)
+        acc_trace.append(acc)
         if on_stage is not None:
             on_stage(stage_idx, betas[-1], esss[-1], float(logZ))
         if betas[-1] >= 1.0:
             break
+        # Robbins-Monro-flavored ε adaptation toward ~0.6 mean trajectory
+        # acceptance (multinomial-HMC statistic), clipped to 4×/stage.
+        eps_s = float(np.clip(eps_s * np.exp(1.5 * (acc - 0.6)),
+                              eps_s * 0.25, eps_s * 4.0))
     return particles, {"log_evidence": float(logZ),
                        "beta_trace": betas, "ess_trace": esss,
                        "logw_std_trace": logw_stds,
                        "loglik_std_trace": loglik_stds,
                        "unique_particles_after_resample": uniques,
+                       "eps_trace": eps_trace, "accept_trace": acc_trace,
                        "final_beta": betas[-1] if betas else 0.0,
                        "converged": bool(betas and betas[-1] >= 1.0),
                        "n_stages": len(betas)}

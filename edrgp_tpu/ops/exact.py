@@ -45,6 +45,83 @@ def _Ky(kernel: Kernel, params, X):
     return K + noise_variance(params) * jnp.eye(n, dtype=K.dtype)
 
 
+# --------------------------------------------------------------------------
+# Fused RBF NLML adjoint: the dK → d(ℓ, σ², σₙ²) contraction is the last
+# non-factorization term of the headline value+grad anatomy (~3.5 ms of
+# 38.6 at N=10k — BENCH_NOTES r4 "adjoint floor").  XLA's autodiff makes
+# several [N, N] HBM passes (saved exp residual + elementwise products +
+# two gemms); the Pallas backward recomputes K tile-wise in VMEM and reads
+# the [N, N] cotangent exactly once.  Forward numerics are IDENTICAL to
+# the stock path (same sq_dist/exp composition); only the backward route
+# changes.  VALID ONLY FOR SYMMETRIC dL/dK COTANGENTS — true by
+# construction here, where the only consumer is logdet_and_quad's adjoint
+# W = g_ld·K⁻¹ − g_q·ααᵀ.  Keep this function private to the NLML path.
+# --------------------------------------------------------------------------
+
+_PALLAS_NLML_ANNOUNCED = False
+
+
+@jax.custom_vjp
+def _rbf_ky_fused(ls, var, noise, X):
+    """Ky = σ²·exp(−½‖(xᵢ−xⱼ)/ℓ‖²) + σₙ²·I with a fused-Pallas backward.
+
+    ``ls`` arrives broadcast to [Q] (constrained space) so the cotangent
+    reduction for isotropic kernels happens in the caller's broadcast."""
+    from .kernels import sq_dist
+    Xs = X / ls
+    K = var * jnp.exp(-0.5 * sq_dist(Xs, Xs))
+    return K + noise * jnp.eye(X.shape[0], dtype=K.dtype)
+
+
+def _rbf_ky_fwd(ls, var, noise, X):
+    return _rbf_ky_fused(ls, var, noise, X), (ls, var, X)
+
+
+def _rbf_ky_bwd(res, W):
+    from ..config import on_tpu
+    from .pallas.rbf import rbf_nlml_adjoint
+    ls, var, X = res
+    Xs = X / ls
+    # P = (W∘K)·Xs, r = (W∘K)·1 — all O(N²) work, one read of W
+    P, r = rbf_nlml_adjoint(X, W, ls, var, precision="high",
+                            interpret=not on_tpu())
+    P = P.astype(X.dtype)
+    r = r.astype(X.dtype)
+    dvar = jnp.sum(r) / var
+    # symmetric W: Σᵢⱼ A_ij (xs_iq − xs_jq)² = 2Σᵢ rᵢ xs_iq² − 2Σᵢ xs_iq P_iq
+    dls = 2.0 * jnp.sum(r[:, None] * Xs * Xs - Xs * P, axis=0) / ls
+    dnoise = jnp.trace(W)
+    dX = 2.0 * (P - Xs * r[:, None]) / ls
+    return dls, dvar, dnoise, dX
+
+
+_rbf_ky_fused.defvjp(_rbf_ky_fwd, _rbf_ky_bwd)
+
+
+def _Ky_for_nlml(kernel: Kernel, params, X):
+    """_Ky with the fused-adjoint fast path when eligible (see the knob
+    ``EDRGP_PALLAS_NLML`` / :func:`edrgp_tpu.config.pallas_nlml_mode`)."""
+    from ..config import on_tpu, pallas_nlml_mode
+    from .kernels import RBF
+    mode = pallas_nlml_mode()
+    if (mode != "off" and type(kernel) is RBF
+            and kernel.active_dims is None and X.dtype == jnp.float32):
+        if mode == "force" or (on_tpu() and X.shape[0] >= 2048):
+            global _PALLAS_NLML_ANNOUNCED
+            if not _PALLAS_NLML_ANNOUNCED:
+                _PALLAS_NLML_ANNOUNCED = True
+                import logging
+                logging.getLogger("edrgp_tpu").info(
+                    "nlml: fused-Pallas kernel adjoint engaged (mode=%s, "
+                    "N=%d; set EDRGP_PALLAS_NLML=off to disable)",
+                    mode, X.shape[0])
+            ls = jnp.broadcast_to(positive(params["kernel"]["lengthscale"]),
+                                  (X.shape[1],))
+            var = positive(params["kernel"]["variance"])
+            return _rbf_ky_fused(ls, var, noise_variance(params), X)
+    return _Ky(kernel, params, X)
+
+
 @partial(jax.jit, static_argnums=0)
 def nlml(kernel: Kernel, params, X: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Negative log marginal likelihood; y shape [N].
@@ -52,11 +129,13 @@ def nlml(kernel: Kernel, params, X: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     Reverse-mode differentiates through :func:`logdet_and_quad`'s analytic
     adjoint (trace-form dNLML/dK) rather than the Cholesky factorization —
     the difference between the reference engine's O(N³) LAPACK gradient
-    path and a naive autodiff one.
+    path and a naive autodiff one.  On TPU f32 plain-RBF problems the
+    remaining dK → dθ contraction dispatches to the fused Pallas adjoint
+    (:func:`_rbf_ky_fused`).
     """
     from .linalg import logdet_and_quad
     n = X.shape[0]
-    logdet, quad = logdet_and_quad(_Ky(kernel, params, X), y)
+    logdet, quad = logdet_and_quad(_Ky_for_nlml(kernel, params, X), y)
     return 0.5 * (n * _LOG2PI + logdet + quad)
 
 

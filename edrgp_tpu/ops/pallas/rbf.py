@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["rbf_kernel_matrix", "rbf_grad_mu"]
+__all__ = ["rbf_kernel_matrix", "rbf_grad_mu", "rbf_nlml_adjoint"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -197,3 +197,90 @@ def rbf_grad_mu(Xnew: jnp.ndarray, X: jnp.ndarray, alpha: jnp.ndarray,
     # G = (Σ W xs_i − xs* Σ W)/ℓ  (scaled-coordinate identity)
     g = (g_raw[:M] - Xs[:M] * w_sum[:M]) / ls
     return g
+
+
+# --------------------------------------------------------------------------
+# NLML kernel-parameter adjoint contractions: A = W ∘ K(X, X),
+# P = A·Xs [N, Q] and r = A·1 [N] — everything the dNLML/d(ℓ, σ², X)
+# chain needs for SYMMETRIC W, without materializing A (or re-reading K)
+# in HBM.  See exact._rbf_ky_fused for the calculus.
+# --------------------------------------------------------------------------
+
+def _kadj_kernel(x1_ref, x2_ref, w_ref, sig_ref, p_ref, r_ref, *, precision):
+    j = pl.program_id(1)
+
+    a = x1_ref[:]                                   # [TM, Q] scaled rows
+    b = x2_ref[:]                                   # [TN, Q] scaled rows
+    a2 = jnp.sum(a * a, axis=1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=1, keepdims=True).T
+    ab = _dot_nt(a, b, precision)
+    sq = jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
+    A = w_ref[:] * (sig_ref[0, 0] * jnp.exp(-0.5 * sq))   # [TM, TN]
+
+    p_inc = _dot(A, b, precision, b_dim=0)          # [TM, Q]
+    r_inc = jnp.sum(A, axis=1, keepdims=True)       # [TM, 1]
+
+    @pl.when(j == 0)
+    def _():
+        p_ref[:] = p_inc
+        r_ref[:] = r_inc
+
+    @pl.when(j != 0)
+    def _():
+        p_ref[:] = p_ref[:] + p_inc
+        r_ref[:] = r_ref[:] + r_inc
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n",
+                                             "interpret", "precision"))
+def rbf_nlml_adjoint(X: jnp.ndarray, W: jnp.ndarray, lengthscale, sigma2,
+                     *, block_m: int = 256, block_n: int = 512,
+                     interpret: bool = False,
+                     precision: str = "high"):
+    """(P, r) with P = (W∘K)·Xs [N, Q] and r = (W∘K)·1 [N].
+
+    X [N, Q] unscaled, W [N, N] the dL/dK cotangent.  K is recomputed
+    tile-wise in VMEM (never read from HBM), so the only O(N²) HBM
+    traffic is reading W once — versus the XLA autodiff path's multiple
+    [N, N] elementwise passes plus the saved-exp residual.  Row/column
+    sums are NOT symmetrized here; callers needing the full adjoint for
+    non-symmetric W must call twice (W and Wᵀ).
+    """
+    N, Q = X.shape
+    ls = jnp.broadcast_to(jnp.asarray(lengthscale, jnp.float32), (Q,))
+    Xs = (X / ls).astype(jnp.float32)
+
+    Np_m = _round_up(N, block_m)
+    Np_n = _round_up(N, block_n)
+    Xs_m = _pad_rows(Xs, Np_m)
+    Xs_n = _pad_rows(Xs, Np_n)
+    # zero-padded W rows/cols zero out A for every padded pair
+    Wp = jnp.pad(W.astype(jnp.float32),
+                 ((0, Np_m - N), (0, Np_n - N)))
+    sig = jnp.asarray(sigma2, jnp.float32).reshape(1, 1)
+
+    P, r = pl.pallas_call(
+        functools.partial(_kadj_kernel, precision=precision),
+        grid=(Np_m // block_m, Np_n // block_n),
+        in_specs=[
+            pl.BlockSpec((block_m, Q), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, Q), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_m, Q), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np_m, Q), jnp.float32),
+            jax.ShapeDtypeStruct((Np_m, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(Xs_m, Xs_n, Wp, sig)
+    return P[:N], r[:N, 0]

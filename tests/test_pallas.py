@@ -112,6 +112,67 @@ def test_dispatch_takes_autodiff_path_on_cpu():
     assert _pallas_grad_dispatch(k, kp, C, w, Xn) is None
 
 
+def test_nlml_adjoint_contractions_match_direct():
+    """rbf_nlml_adjoint's (P, r) ≡ the dense (W∘K)·Xs and (W∘K)·1."""
+    from edrgp_tpu.ops.pallas.rbf import rbf_nlml_adjoint
+
+    N, Q = 135, 4                               # exercises the padding path
+    rng = np.random.default_rng(7)
+    X = jnp.asarray(rng.normal(size=(N, Q)), jnp.float32)
+    Wm = rng.normal(size=(N, N))
+    W = jnp.asarray(Wm + Wm.T, jnp.float32)
+    ls = jnp.asarray(rng.uniform(0.5, 2.0, Q), jnp.float32)
+    sigma2 = 1.3
+    P, r = rbf_nlml_adjoint(X, W, ls, sigma2, interpret=True)
+    Xs = np.asarray(X / ls)
+    d2 = ((Xs[:, None, :] - Xs[None, :, :]) ** 2).sum(-1)
+    A = np.asarray(W) * (sigma2 * np.exp(-0.5 * d2))
+    np.testing.assert_allclose(np.asarray(P), A @ Xs, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(r), A.sum(1), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("ard", [True, False])
+def test_fused_nlml_adjoint_gradients_match_autodiff(ard):
+    """The full NLML value+grad with the fused Pallas backward (force,
+    interpret on CPU) must match the stock autodiff contraction — value
+    bitwise (identical forward program), gradients to f32 tolerance —
+    including the raw-noise and X cotangents."""
+    from edrgp_tpu import config as cfg
+    from edrgp_tpu.ops import exact
+    from edrgp_tpu.ops.kernels import RBF, inv_positive
+
+    N, Q = 97, 3
+    rng = np.random.default_rng(3)
+    kernel = RBF(Q, ARD=ard)
+    X = jnp.asarray(rng.normal(size=(N, Q)), jnp.float32)
+    y = jnp.asarray(np.sin(rng.normal(size=N)), jnp.float32)
+    params = {"kernel": kernel.init_params(jnp.float32),
+              "raw_noise": inv_positive(jnp.asarray(0.2, jnp.float32))}
+
+    def vg(mode):
+        cfg.set_pallas_nlml_mode(mode)
+        jax.clear_caches()
+        try:
+            val, grads = jax.value_and_grad(
+                lambda p, Xa: exact.nlml(kernel, p, Xa, y), argnums=(0, 1)
+            )(params, X)
+        finally:
+            cfg.set_pallas_nlml_mode(None)
+        return val, grads
+
+    v_off, g_off = vg("off")
+    exact._PALLAS_NLML_ANNOUNCED = False
+    v_on, g_on = vg("force")
+    assert exact._PALLAS_NLML_ANNOUNCED
+    np.testing.assert_allclose(float(v_on), float(v_off), rtol=1e-6)
+    flat_off = jax.tree_util.tree_leaves(g_off)
+    flat_on = jax.tree_util.tree_leaves(g_on)
+    for a, b in zip(flat_off, flat_on):
+        scale = max(np.abs(np.asarray(a)).max(), 1e-3)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-4 * scale, rtol=5e-4)
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="native Mosaic compile needs a real TPU")
 def test_kernels_compile_natively_on_tpu():

@@ -273,6 +273,42 @@ def test_smc_segmented_matches_monolithic_quality():
                                atol=0.3)
 
 
+def test_smc_adaptive_rejuvenation_survives_stiff_target():
+    """A target 500× tighter than the prior: a FIXED-scale rejuvenation
+    kernel freezes at high β (resample duplicates never re-diversify and
+    the ensemble collapses toward one point — the r4 config-5 failure,
+    results/svgp10m_smc_r5.log first capture); the r5 adaptive kernel
+    (ensemble-variance mass + acceptance-driven ε) must keep the ensemble
+    diverse and land the right posterior."""
+    from edrgp_tpu.inference.smc import run_smc_segmented
+
+    mu = jnp.asarray([0.8, -0.5])
+    sig = 0.01
+
+    def loglik(q):
+        return -0.5 * jnp.sum((q - mu) ** 2) / sig ** 2
+
+    def logprior(q):
+        return -0.5 * jnp.sum(q ** 2) / 25.0
+
+    parts0 = 5.0 * jax.random.normal(jax.random.PRNGKey(4), (512, 2))
+    parts, info = run_smc_segmented(loglik, logprior, parts0,
+                                    jax.random.PRNGKey(5), num_mcmc=3,
+                                    n_leapfrog=10, eps=0.3, max_stages=60)
+    assert info["converged"]
+    # the ensemble never degenerates: every resample keeps a healthy
+    # fraction of unique ancestors, and the rejuvenation keeps ACCEPTING
+    # at the tightest temperatures (ε is in preconditioned units — the
+    # ensemble-variance mass absorbs the 500× scale, so ε itself need
+    # not shrink)
+    assert min(info["unique_particles_after_resample"]) > 50
+    assert info["accept_trace"][-1] > 0.2
+    np.testing.assert_allclose(np.asarray(parts.mean(0)), np.asarray(mu),
+                               atol=5 * sig)
+    post_std = np.asarray(parts).std(0)
+    assert np.all(post_std > 0.2 * sig) and np.all(post_std < 5 * sig)
+
+
 def test_nuts_adaptation_reuse():
     """Adaptation transfer: a second chain group sampling with the first
     group's tuned (eps, inv_mass) — no warmup — must produce sound
