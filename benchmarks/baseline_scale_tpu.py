@@ -242,22 +242,34 @@ def run_smc_hyper(model, ds, n_total, n_particles=1024, n_sub=16384,
     # (same fixed 16,384-row subsampled SVGP-bound data term, same prior)
     # — settles whether the on-chip SMC posterior is the posterior
     # (VERDICT r4 missing #3 / next #4).
-    from edrgp_tpu.inference.hmc import curvature_inv_mass
     from edrgp_tpu.inference.nuts import run_nuts_segmented
 
     def logpost(q):
         return loglik(q) + logprior(q)
 
+    # Chains start at SMC draws with the SMC posterior variance as mass —
+    # standard preconditioning that does not bias the stationary check
+    # (MCMC converges to the target from any init).  The first r5 attempt
+    # started at θ̂ with Laplace-at-θ̂ mass: the posterior mode sits ~50σ
+    # away on the diffuse dims (the fixed-q(u) bound's optimum over θ is
+    # NOT θ̂), the mismatched mass collapsed dual averaging (ε → 0, all
+    # trees at max depth, R̂ ~ 1e6 — results/svgp10m_smc_r5b.log).
+    # persist the ensemble: cross-checks / re-analysis without re-running
+    np.savez(os.path.join(os.path.dirname(__file__), "..", "results",
+                          "smc_particles_r5.npz"),
+             particles=np.asarray(parts), theta_hat=np.asarray(flat_hat),
+             post_mean=post_mean, post_std=post_std)
+
     C, warm, samp = 8, 128, 128
-    q0 = (jnp.tile(flat_hat[None], (C, 1))
-          + 0.1 * jax.random.normal(jax.random.PRNGKey(11), (C, D),
-                                    jnp.float32))
-    inv_mass0 = jax.jit(lambda qf: curvature_inv_mass(logpost, qf))(flat_hat)
+    ridx = np.random.default_rng(13).choice(parts.shape[0], C,
+                                            replace=False)
+    q0 = jnp.asarray(np.asarray(parts)[ridx], jnp.float32)
+    inv_mass0 = np.maximum(post_std.astype(np.float64) ** 2, 1e-10)
     t0 = time.time()
     qs, ninfo = run_nuts_segmented(
         logpost, q0, jax.random.PRNGKey(12), num_warmup=warm,
         num_samples=samp, max_depth=8, segment_len=4, pool_eps=True,
-        inv_mass0=np.asarray(inv_mass0))
+        inv_mass0=np.asarray(inv_mass0, np.float32))
     nuts_wall = time.time() - t0
     flat_samples = qs.reshape(-1, D)
     nuts_mean = flat_samples.mean(0)
