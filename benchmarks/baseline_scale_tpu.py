@@ -254,11 +254,16 @@ def run_smc_hyper(model, ds, n_total, n_particles=1024, n_sub=16384,
     # away on the diffuse dims (the fixed-q(u) bound's optimum over θ is
     # NOT θ̂), the mismatched mass collapsed dual averaging (ε → 0, all
     # trees at max depth, R̂ ~ 1e6 — results/svgp10m_smc_r5b.log).
-    # persist the ensemble: cross-checks / re-analysis without re-running
+    # persist the ensemble AND the full target (subsample + variational
+    # state) so an offline f64 confirmation / re-analysis never needs to
+    # re-run the 10M fit or the ladder
     np.savez(os.path.join(os.path.dirname(__file__), "..", "results",
                           "smc_particles_r5.npz"),
              particles=np.asarray(parts), theta_hat=np.asarray(flat_hat),
-             post_mean=post_mean, post_std=post_std)
+             post_mean=post_mean, post_std=post_std,
+             Xs=np.asarray(Xs), ys=np.asarray(ys), Z=np.asarray(Z),
+             m=np.asarray(mvec), S=np.asarray(Svar),
+             n_eff=np.asarray(n_eff), prior_scale=np.asarray(prior_scale))
 
     C, warm, samp = 8, 128, 128
     ridx = np.random.default_rng(13).choice(parts.shape[0], C,

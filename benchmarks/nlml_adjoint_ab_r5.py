@@ -86,6 +86,35 @@ def main():
         grad_max_rel=rel,
         speedup=round(ms_off / ms_on, 3),
         ms_saved=round(ms_off - ms_on, 2))
+
+    # the f32 restarts default vmaps the NLML backward: prove the fused
+    # adjoint compiles and agrees UNDER VMAP on hardware (Mosaic batching)
+    def vmapped_check(mode, N=10_000, Q=8, R=5):
+        cfg.set_pallas_nlml_mode(mode)
+        jax.clear_caches()
+        kernel = RBF(Q, ARD=True)
+        rng = np.random.default_rng(0)
+        X = jnp.asarray(rng.normal(size=(N, Q)), jnp.float32)
+        y = jnp.asarray(np.sin(rng.normal(size=N)), jnp.float32)
+        base = {"kernel": kernel.init_params(jnp.float32),
+                "raw_noise": inv_positive(jnp.asarray(0.1, jnp.float32))}
+        batch = jax.tree_util.tree_map(
+            lambda a: jnp.stack([a + 0.05 * i for i in range(R)]), base)
+        v, g = jax.vmap(jax.value_and_grad(
+            lambda p: exact.nlml(kernel, p, X, y)))(batch)
+        flat = np.concatenate([np.asarray(l).ravel()
+                               for l in jax.tree_util.tree_leaves(g)])
+        cfg.set_pallas_nlml_mode(None)
+        return np.asarray(v), flat
+
+    v_v_off, g_v_off = vmapped_check("off")
+    v_v_on, g_v_on = vmapped_check("auto")
+    res["vmapped"] = emit(
+        stage="vmapped_restarts_path",
+        values_match=bool(np.allclose(v_v_on, v_v_off, rtol=1e-5)),
+        grad_max_rel=float(np.max(np.abs(g_v_on - g_v_off)
+                                  / np.maximum(np.abs(g_v_off), 1e-3))),
+        finite=bool(np.all(np.isfinite(g_v_on))))
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         json.dump(res, f, indent=1)

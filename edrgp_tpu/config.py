@@ -272,6 +272,14 @@ def set_pallas_grad_mode(mode: str | None):
 #: Same tri-state semantics as ``EDRGP_PALLAS_GRAD``: ``auto`` engages on
 #: TPU float32 plain-RBF NLML at N ≥ 2048; ``off`` keeps the XLA autodiff
 #: contraction; ``force`` engages everywhere (interpret mode off-TPU).
+#:
+#: DEFAULT IS ``off`` (wire-or-retire, measured r5): on hardware the
+#: fused backward ties-to-loses — 39.2 vs 38.6 ms per N=10k value+grad
+#: (XLA's own contraction is tighter than the r4 ~3.5 ms estimate), its
+#: in-kernel 'high' recompute adds ~3e-3 gradient deviation, and the
+#: vmapped (restarts) path RESOURCE_EXHAUSTs at 5×10k
+#: (results/NLML_ADJOINT_AB_r05.json).  Kernel + knob + tests kept, not
+#: dispatched — same treatment as the r4 K-build tie.
 _PALLAS_NLML_MODE = None
 
 
@@ -280,7 +288,7 @@ def pallas_nlml_mode() -> str:
     global _PALLAS_NLML_MODE
     if _PALLAS_NLML_MODE is None:
         import os
-        mode = os.environ.get("EDRGP_PALLAS_NLML", "auto").lower()
+        mode = os.environ.get("EDRGP_PALLAS_NLML", "off").lower()
         if mode not in ("auto", "off", "force"):
             raise ValueError(
                 f"EDRGP_PALLAS_NLML must be auto|off|force, got {mode!r}")

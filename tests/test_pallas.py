@@ -173,6 +173,44 @@ def test_fused_nlml_adjoint_gradients_match_autodiff(ard):
                                    atol=5e-4 * scale, rtol=5e-4)
 
 
+def test_fused_nlml_adjoint_under_vmap():
+    """The f32 restarts default vmaps the L-BFGS segment — and with it the
+    NLML backward.  The fused adjoint must hold under vmap (pallas_call
+    batching rule) and match per-restart autodiff gradients."""
+    from edrgp_tpu import config as cfg
+    from edrgp_tpu.ops import exact
+    from edrgp_tpu.ops.kernels import RBF, inv_positive
+
+    N, Q, R = 64, 3, 3
+    rng = np.random.default_rng(5)
+    kernel = RBF(Q, ARD=True)
+    X = jnp.asarray(rng.normal(size=(N, Q)), jnp.float32)
+    y = jnp.asarray(np.sin(rng.normal(size=N)), jnp.float32)
+    base = {"kernel": kernel.init_params(jnp.float32),
+            "raw_noise": inv_positive(jnp.asarray(0.2, jnp.float32))}
+    batch = jax.tree_util.tree_map(
+        lambda a: jnp.stack([a + 0.1 * i for i in range(R)]), base)
+
+    def vg_batch(mode):
+        cfg.set_pallas_nlml_mode(mode)
+        jax.clear_caches()
+        try:
+            return jax.vmap(jax.value_and_grad(
+                lambda p: exact.nlml(kernel, p, X, y)))(batch)
+        finally:
+            cfg.set_pallas_nlml_mode(None)
+
+    v_off, g_off = vg_batch("off")
+    v_on, g_on = vg_batch("force")
+    np.testing.assert_allclose(np.asarray(v_on), np.asarray(v_off),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_off),
+                    jax.tree_util.tree_leaves(g_on)):
+        scale = max(np.abs(np.asarray(a)).max(), 1e-3)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-4 * scale, rtol=5e-4)
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="native Mosaic compile needs a real TPU")
 def test_kernels_compile_natively_on_tpu():
